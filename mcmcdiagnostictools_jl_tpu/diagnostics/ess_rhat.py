@@ -1,0 +1,373 @@
+"""ESS and R-hat — the flagship diagnostics.
+
+Re-implements the full capability surface of the reference's ess_rhat.jl in a
+single batched pipeline: split-chains gather -> fused chain moments -> batched
+FFT autocovariance -> vectorized Geyer lag reduction. Everything runs under one
+``jax.jit`` per (shape, kind, options) signature; no per-parameter Python loop
+exists anywhere.
+
+Kinds (reference src/ess_rhat.jl:276-311, 335-349, 438-455, 604-659):
+
+- ``rhat``: ``"rank"`` (default) = max of bulk and tail, ``"bulk"`` = basic on
+  rank-normalized draws, ``"tail"`` = bulk of draws folded around the median,
+  ``"basic"`` = classic split-R-hat.
+- ``ess``: ``"bulk"`` (default), ``"tail"`` (min of the symmetric
+  quantile-ESS at ``tail_prob/2`` and ``1 - tail_prob/2``), ``"basic"``, or an
+  estimator: ``"mean"``, ``"median"``, ``"std"``, ``"mad"``, ``Quantile(p)``.
+- ``ess_rhat``: ``"rank"`` (ess=bulk-ESS, rhat=max(bulk,tail)), ``"bulk"``,
+  ``"tail"`` (ess=tail-ESS, rhat=tail-R-hat), ``"basic"``.
+
+Estimator-ESS proxies (src/ess_rhat.jl:626-659): mean -> x, median ->
+indicator(x <= median), std -> (x - mean)^2, mad -> median-proxy of the folded
+draws, quantile(p) -> indicator(x <= quantile_p).
+
+Numeric contracts preserved: the split-chain remainder-discard rule, the
+``(n-1)/n`` correction, the ``corrected=(nchains>1)`` between-chain variance
+guard, the ``min(1/tau, log10(ntotal))`` antithetic cap, ``maxlag`` clamped to
+``niter - 4``, NaN ESS + warning (R-hat still computed) when ``niter <= 4``.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.autocov import mean_autocov_curve
+from ..ops.geyer import geyer_ess_from_rho
+from ..ops.moments import chain_stats
+from ..ops.ranknorm import (
+    batched_median,
+    batched_quantile,
+    fold_around_median,
+    rank_normalize,
+)
+from ..utils.layout import canonicalize, maybe_scalar
+from ..utils.split import split_chains_reshape
+
+
+class ESSRhat(NamedTuple):
+    ess: object
+    rhat: object
+
+
+@dataclass(frozen=True)
+class AutocovMethod:
+    """Direct biased Geyer autocovariance estimator (reference
+    src/ess_rhat.jl:22-38,161-179)."""
+
+    name: str = "direct"
+
+
+@dataclass(frozen=True)
+class FFTAutocovMethod:
+    """Batched real-FFT autocovariance estimator — the TPU default
+    (reference src/ess_rhat.jl:40-55,103-118,181-195)."""
+
+    name: str = "fft"
+
+
+@dataclass(frozen=True)
+class BDAAutocovMethod:
+    """BDA3 variogram autocovariance estimator (reference
+    src/ess_rhat.jl:57-73,197-213)."""
+
+    name: str = "bda"
+
+
+@dataclass(frozen=True)
+class Quantile:
+    """Estimator marker for quantile-ESS / quantile-MCSE, the analogue of the
+    reference's ``Base.Fix2(Statistics.quantile, p)``."""
+
+    p: float
+
+    def __post_init__(self):
+        if not 0 < self.p < 1:
+            raise ValueError("quantile probability must be in (0, 1)")
+
+
+_SYMBOL_KINDS_ESS = ("bulk", "tail", "basic")
+_ESTIMATOR_KINDS = ("mean", "median", "std", "mad")
+_RHAT_KINDS = ("rank", "bulk", "tail", "basic")
+
+
+def _method_name(autocov_method):
+    if isinstance(autocov_method, (AutocovMethod, FFTAutocovMethod, BDAAutocovMethod)):
+        return autocov_method.name
+    if isinstance(autocov_method, str) or callable(autocov_method):
+        return autocov_method
+    raise TypeError(f"unsupported autocov_method: {autocov_method!r}")
+
+
+# ---------------------------------------------------------------------------
+# proxies (src/ess_rhat.jl:626-659)
+# ---------------------------------------------------------------------------
+
+
+def _indicator_leq(x3, threshold):
+    """float indicator of ``x <= threshold`` with NaN poisoning per slice."""
+    y = (x3 <= threshold[None, None, :]).astype(x3.dtype)
+    return jnp.where(jnp.isnan(threshold)[None, None, :], jnp.nan, y)
+
+
+def _expectand_proxy(estimator, x3, q: float | None):
+    if estimator == "mean":
+        return x3
+    if estimator == "median":
+        return _indicator_leq(x3, batched_median(x3))
+    if estimator == "std":
+        mean = jnp.mean(x3, axis=(0, 1), keepdims=True)
+        return (x3 - mean) ** 2
+    if estimator == "mad":
+        folded = fold_around_median(x3)
+        return _indicator_leq(folded, batched_median(folded))
+    if estimator == "quantile":
+        return _indicator_leq(x3, batched_quantile(x3, q))
+    raise ValueError(f"the estimator {estimator!r} is not supported by `ess`")
+
+
+# ---------------------------------------------------------------------------
+# basic kernel
+# ---------------------------------------------------------------------------
+
+
+def _basic_rhat(x3, split_chains: int):
+    samples = split_chains_reshape(x3, split_chains)
+    return chain_stats(samples).rhat
+
+
+def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
+    """Split -> moments -> autocov curve -> rho -> Geyer. (niter, C, P) batched.
+
+    Mirrors the reference hot loop `_ess_rhat_basic!` (src/ess_rhat.jl:488-602)
+    with the per-parameter loop replaced by the parameter axis of every kernel.
+    """
+    samples = split_chains_reshape(x3, split_chains)
+    niter, nchains, _ = samples.shape
+    ntotal = niter * nchains
+    stats = chain_stats(samples)
+    centered = samples - stats.chain_mean[None]
+    acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)  # (L+1, P)
+    inv_var_plus = 1.0 / stats.var_plus
+    rho = 1.0 - (stats.w[None] - acov) * inv_var_plus[None]
+    ess = geyer_ess_from_rho(rho, ntotal, relative)
+    return ess, stats.rhat
+
+
+# ---------------------------------------------------------------------------
+# kind dispatch (jitted end-to-end; kind/options static)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "split_chains", "maxlag", "method", "relative", "q"),
+)
+def _ess_rhat_pipeline(
+    x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
+    q: float | None = None,
+):
+    """Full ess/rhat pipeline for one symbolic or estimator kind.
+
+    ``kind`` in {"basic","bulk","tail","rank"} or estimator names; returns
+    ``(ess, rhat)`` with NaN placeholders where a component is not computed.
+    """
+    if kind == "basic":
+        return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
+    if kind == "bulk":
+        return _basic_ess_rhat(
+            rank_normalize(x3), split_chains, maxlag, method, relative
+        )
+    if kind in ("mean", "median", "std", "mad", "quantile"):
+        proxy = _expectand_proxy(kind, x3, q)
+        return _basic_ess_rhat(proxy, split_chains, maxlag, method, relative)
+    if kind == "tail":
+        tail_prob = 0.1 if q is None else q
+        ess_lo, _ = _ess_rhat_pipeline(
+            x3, kind="quantile", split_chains=split_chains, maxlag=maxlag,
+            method=method, relative=relative, q=tail_prob / 2,
+        )
+        ess_hi, _ = _ess_rhat_pipeline(
+            x3, kind="quantile", split_chains=split_chains, maxlag=maxlag,
+            method=method, relative=relative, q=1 - tail_prob / 2,
+        )
+        ess = jnp.minimum(ess_lo, ess_hi)
+        rhat = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        return ess, rhat
+    if kind == "rank":
+        ess_bulk, rhat_bulk = _ess_rhat_pipeline(
+            x3, kind="bulk", split_chains=split_chains, maxlag=maxlag,
+            method=method, relative=relative,
+        )
+        rhat_tail = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+@partial(jax.jit, static_argnames=("kind", "split_chains"))
+def _rhat_pipeline(x3, *, kind: str, split_chains: int):
+    if kind == "basic":
+        return _basic_rhat(x3, split_chains)
+    if kind == "bulk":
+        return _basic_rhat(rank_normalize(x3), split_chains)
+    if kind == "tail":
+        return _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+    if kind == "rank":
+        bulk = _basic_rhat(rank_normalize(x3), split_chains)
+        tail = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        return jnp.maximum(tail, bulk)
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# shared option handling
+# ---------------------------------------------------------------------------
+
+
+def _check_maxlag(maxlag: int):
+    if maxlag <= 0:
+        raise ValueError("maxlag must be >0.")
+
+
+def _niter_after_split(ndraws: int, split_chains: int) -> int:
+    return ndraws // split_chains
+
+
+def _warn_short(niter: int):
+    warnings.warn(
+        f"number of draws after splitting must be >4 but is {niter}. "
+        "ESS cannot be computed.",
+        stacklevel=3,
+    )
+
+
+def _normalize_estimator(kind):
+    """Map a public ``kind`` to (pipeline_kind, q)."""
+    if isinstance(kind, Quantile):
+        return "quantile", float(kind.p)
+    if isinstance(kind, str):
+        if kind in _SYMBOL_KINDS_ESS or kind in _ESTIMATOR_KINDS:
+            return kind, None
+        raise ValueError(f"the `kind` `{kind}` is not supported by `ess`")
+    raise ValueError(f"the `kind` `{kind!r}` is not supported by `ess`")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def ess(
+    samples,
+    *,
+    kind="bulk",
+    relative: bool = False,
+    autocov_method=FFTAutocovMethod(),
+    split_chains: int = 2,
+    maxlag: int = 250,
+    tail_prob: float = 0.1,
+):
+    """Effective sample size of ``samples`` shaped ``(draws[, chains[, params...]])``.
+
+    Mirrors the reference ``ess`` (src/ess_rhat.jl:215-311). ``kind`` is
+    ``"bulk"`` (default), ``"tail"``, ``"basic"``, an estimator name
+    (``"mean"``/``"median"``/``"std"``/``"mad"``), or ``Quantile(p)``.
+    ``relative=True`` returns ESS / (draws*chains). Scalar for <=2-d input,
+    array shaped like the parameter dims otherwise.
+    """
+    x3, pshape = canonicalize(samples)
+    pipeline_kind, q = _normalize_estimator(kind)
+    if pipeline_kind == "tail":
+        if not 0 < tail_prob < 1:
+            raise ValueError("tail_prob must be in (0, 1)")
+        q = tail_prob
+    _check_maxlag(maxlag)
+    niter = _niter_after_split(x3.shape[0], split_chains)
+    if niter <= 4:
+        _warn_short(niter)
+        return maybe_scalar(jnp.full(x3.shape[2], jnp.nan, x3.dtype), pshape)
+    eff_maxlag = min(maxlag, niter - 4)
+    ess_vals, _ = _ess_rhat_pipeline(
+        x3,
+        kind=pipeline_kind,
+        split_chains=split_chains,
+        maxlag=eff_maxlag,
+        method=_method_name(autocov_method),
+        relative=relative,
+        q=q,
+    )
+    return maybe_scalar(ess_vals, pshape)
+
+
+def rhat(samples, *, kind: str = "rank", split_chains: int = 2):
+    """R-hat of ``samples`` shaped ``(draws[, chains[, params...]])``.
+
+    Mirrors the reference ``rhat`` (src/ess_rhat.jl:313-420). ``kind`` is one
+    of ``"rank"`` (default), ``"bulk"``, ``"tail"``, ``"basic"``.
+    """
+    if kind not in _RHAT_KINDS:
+        raise ValueError(f"the `kind` `{kind}` is not supported by `rhat`")
+    x3, pshape = canonicalize(samples)
+    vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
+    return maybe_scalar(vals, pshape)
+
+
+def ess_rhat(
+    samples,
+    *,
+    kind: str = "rank",
+    relative: bool = False,
+    autocov_method=FFTAutocovMethod(),
+    split_chains: int = 2,
+    maxlag: int = 250,
+    tail_prob: float = 0.1,
+):
+    """Joint ESS and R-hat (more efficient than separate calls).
+
+    Mirrors the reference ``ess_rhat`` (src/ess_rhat.jl:422-487,604-624):
+    ``"rank"`` returns ess=bulk-ESS and rhat=max(bulk, tail); ``"tail"``
+    returns the tail pair; plus ``"bulk"`` and ``"basic"``.
+    """
+    if kind not in _RHAT_KINDS:
+        raise ValueError(f"the `kind` `{kind}` is not supported by `ess_rhat`")
+    x3, pshape = canonicalize(samples)
+    _check_maxlag(maxlag)
+    niter = _niter_after_split(x3.shape[0], split_chains)
+    if niter <= 4:
+        _warn_short(niter)
+        ess_vals = jnp.full(x3.shape[2], jnp.nan, x3.dtype)
+        rhat_vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
+        return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
+    eff_maxlag = min(maxlag, niter - 4)
+    q = tail_prob if kind == "tail" else None
+    ess_vals, rhat_vals = _ess_rhat_pipeline(
+        x3,
+        kind=kind,
+        split_chains=split_chains,
+        maxlag=eff_maxlag,
+        method=_method_name(autocov_method),
+        relative=relative,
+        q=q,
+    )
+    return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
+
+
+# internal helper shared with mcse
+def _ess_array(x3, estimator, q, *, split_chains=2, maxlag=250, relative=False,
+               autocov_method=FFTAutocovMethod()):
+    """ESS of an estimator on canonical (draws, chains, P); returns (P,)."""
+    niter = _niter_after_split(x3.shape[0], split_chains)
+    if niter <= 4:
+        _warn_short(niter)
+        return jnp.full(x3.shape[2], jnp.nan, x3.dtype)
+    eff_maxlag = min(maxlag, niter - 4)
+    ess_vals, _ = _ess_rhat_pipeline(
+        x3, kind=estimator, split_chains=split_chains, maxlag=eff_maxlag,
+        method=_method_name(autocov_method), relative=relative, q=q,
+    )
+    return ess_vals

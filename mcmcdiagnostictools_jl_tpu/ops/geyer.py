@@ -1,0 +1,83 @@
+"""Vectorized Geyer initial-monotone-positive-sequence ESS reduction.
+
+The reference walks lags sequentially per parameter, summing pairs
+``rho(2t) + rho(2t+1)`` until the first nonpositive pair, with a running-min
+monotonicity clamp and an antithetic tail bias term
+(src/ess_rhat.jl:553-601). Data-dependent early exit does not fit XLA, so the
+same recurrence is computed here as masked prefix work over the whole lag
+axis — one cumprod (alive mask), one cummin (monotone clamp), one masked sum —
+batched over every parameter at once:
+
+- ``Delta_t = rho(2t) + rho(2t+1)``; the t=0 pair ``1 + rho(1)`` is always
+  summed (even if negative), matching src/ess_rhat.jl:555-560.
+- alive(t) = all Delta_s > 0 for 1 <= s <= t  (first nonpositive pair stops
+  the sum, src/ess_rhat.jl:569-571).
+- p_t = min(Delta_0, ..., Delta_t)  (monotone clamp, src/ess_rhat.jl:574).
+- tau = max(0, 2*sum_p + max(0, rho(k_final)) - 1) with ``k_final`` the first
+  even lag after the stop (antithetic tail term, src/ess_rhat.jl:590-591).
+- ess_rel = min(1/tau, log10(ntotal))  (the antithetic cap,
+  src/ess_rhat.jl:514,594).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def geyer_ess_from_rho(rho, ntotal: int, relative: bool = False):
+    """ESS from autocorrelation curve ``rho`` of shape (maxlag+1, P).
+
+    ``rho[k] = 1 - (W - mean_autocov(k)) / var_plus`` must be supplied for
+    lags 0..maxlag with maxlag >= 1. Returns (P,) — absolute ESS, or relative
+    (ESS / ntotal) when ``relative``.
+    """
+    maxlag = rho.shape[0] - 1
+    nparams = rho.shape[1]
+    if maxlag < 1:
+        raise ValueError("maxlag must be >= 1")
+    dtype = rho.dtype
+
+    delta0 = 1.0 + rho[1]  # pair (rho_0=1, rho_1); always summed
+    # pair iterations t = 1..T with k = 2t while k < maxlag - 1
+    num_pairs = max(0, (maxlag - 2) // 2)
+    # lag at loop exit without a break: smallest even >= max(2, maxlag - 1)
+    k_nobreak = 2 * ((max(2, maxlag - 1) + 1) // 2)
+
+    if num_pairs > 0:
+        t = np.arange(1, num_pairs + 1)
+        delta = rho[2 * t] + rho[2 * t + 1]  # (T, P)
+        positive = delta > 0
+        alive = jnp.cumprod(positive.astype(jnp.int32), axis=0).astype(bool)
+        # running min including the t=0 pair
+        p = jax.lax.cummin(jnp.concatenate([delta0[None], delta], axis=0), axis=0)[1:]
+        tail_sum = jnp.sum(jnp.where(alive, p, jnp.zeros((), dtype)), axis=0)
+        broke = jnp.any(~positive, axis=0)
+        t_break = 1 + jnp.argmax(~positive, axis=0)
+        k_final = jnp.where(broke, 2 * t_break, k_nobreak)
+        # NaN pairs must not count as a break (NaN > 0 is False); keep NaN
+        # propagation through tail_sum instead.
+        has_nan = jnp.any(jnp.isnan(delta), axis=0)
+        tail_sum = jnp.where(has_nan, jnp.nan, tail_sum)
+    else:
+        tail_sum = jnp.zeros((nparams,), dtype)
+        k_final = jnp.full((nparams,), 2, dtype=jnp.int32)
+
+    sum_p = delta0 + tail_sum
+
+    if maxlag > 1:
+        rho_even = jnp.take_along_axis(rho, k_final[None].astype(jnp.int32), axis=0)[0]
+    else:
+        rho_even = jnp.zeros((nparams,), dtype)  # src/ess_rhat.jl:590
+
+    tau = jnp.maximum(
+        0.0, 2.0 * sum_p + jnp.maximum(0.0, rho_even) - 1.0
+    )
+    rel_ess_max = jnp.asarray(np.log10(ntotal), dtype)
+    ess_rel = jnp.minimum(1.0 / tau, rel_ess_max)
+    # NaN anywhere propagates (identical-sample / poisoned slices)
+    ess_rel = jnp.where(jnp.isnan(sum_p) | jnp.isnan(rho_even), jnp.nan, ess_rel)
+    if relative:
+        return ess_rel
+    return ess_rel * ntotal

@@ -1,0 +1,122 @@
+"""Batched rank/quantile transforms — the sort-based kernel family.
+
+All functions operate on the canonical ``(draws, chains, P)`` layout and are
+batched over the parameter axis with a single XLA sort (no per-parameter
+loops). They reproduce the reference's numeric conventions exactly:
+
+- tied ranking ("average" method) over the joint draws x chains sample
+  (reference src/utils.jl:169-193, StatsBase.tiedrank),
+- the Blom alpha=3/8 transform ``(r - 3/8) / (n + 1/4)`` (src/utils.jl:189-193),
+- the normal quantile via ``ndtri``,
+- type-7 (linear-interpolation) quantiles matching ``Statistics.quantile``,
+- folding around the per-parameter median (src/utils.jl:148-158).
+
+NaN semantics: any NaN inside a parameter slice poisons that slice's output
+(the JAX analogue of the reference's ``missing`` handling,
+src/utils.jl:175-179).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import ndtri
+
+
+def _flatten_sample(x3):
+    """(draws, chains, P) -> (draws*chains, P)."""
+    d, c, p = x3.shape
+    return x3.reshape(d * c, p)
+
+
+def _has_nan_cols(xf):
+    """(N, P) -> (P,) bool, True where the column contains a NaN."""
+    return jnp.any(jnp.isnan(xf), axis=0)
+
+
+def tiedrank(xf):
+    """Tied ("average") 1-based ranks along axis 0 of ``xf`` with shape (N, P).
+
+    Equal values receive the average of the ranks they would occupy. Matches
+    StatsBase.tiedrank used by the reference (src/utils.jl:180). Implemented as
+    one batched sort + segment-boundary cummax/cummin + inverse permutation —
+    O(N log N) per column on the TPU sort unit, fully batched over P.
+    """
+    n = xf.shape[0]
+    order = jnp.argsort(xf, axis=0)
+    xs = jnp.take_along_axis(xf, order, axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    idx = jnp.broadcast_to(idx, xs.shape)
+    neq_prev = xs[1:] != xs[:-1]
+    first_of_group = jnp.concatenate(
+        [jnp.ones((1, xs.shape[1]), dtype=bool), neq_prev], axis=0
+    )
+    last_of_group = jnp.concatenate(
+        [neq_prev, jnp.ones((1, xs.shape[1]), dtype=bool)], axis=0
+    )
+    # start[i] = index of the first element of i's tie group
+    start = jax.lax.cummax(jnp.where(first_of_group, idx, 0), axis=0)
+    # end[i] = index of the last element of i's tie group
+    end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
+    avg_rank_sorted = (start + end).astype(xf.dtype) * 0.5 + 1.0
+    inv = jnp.argsort(order, axis=0)
+    return jnp.take_along_axis(avg_rank_sorted, inv, axis=0)
+
+
+def rank_normalize(x3):
+    """Rank-normalize each parameter slice over its joint (draw, chain) sample.
+
+    tiedrank -> Blom quantiles ``(r - 3/8) / (n + 1/4)`` -> inverse normal CDF.
+    Reference: ``_rank_normalize`` src/utils.jl:169-193. NaN in a slice yields
+    an all-NaN slice (mirrors the all-missing rule, src/utils.jl:176-179).
+    """
+    d, c, p = x3.shape
+    xf = _flatten_sample(x3)
+    n = xf.shape[0]
+    r = tiedrank(xf)
+    q = (r - 0.375) / (n + 0.25)
+    z = ndtri(q)
+    z = jnp.where(_has_nan_cols(xf)[None, :], jnp.nan, z)
+    return z.reshape(d, c, p)
+
+
+def sorted_quantile(xs, p):
+    """Type-7 quantile from presorted values ``xs`` of shape (N, P).
+
+    ``h = (N-1) p``; linear interpolation between ``xs[floor(h)]`` and
+    ``xs[floor(h)+1]`` — identical to Julia ``Statistics.quantile`` and
+    ``numpy.quantile(method="linear")``.
+    """
+    n = xs.shape[0]
+    h = (n - 1) * jnp.asarray(p, dtype=xs.dtype)
+    lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    g = h - lo.astype(xs.dtype)
+    xlo = xs[lo]
+    xhi = xs[hi]
+    return xlo + g * (xhi - xlo)
+
+
+def batched_quantile(x3, p):
+    """Per-parameter type-7 quantile over the joint (draw, chain) sample.
+
+    Returns shape (P,). NaN-poisoned per parameter slice.
+    """
+    xf = _flatten_sample(x3)
+    xs = jnp.sort(xf, axis=0)
+    q = sorted_quantile(xs, p)
+    return jnp.where(_has_nan_cols(xf), jnp.nan, q)
+
+
+def batched_median(x3):
+    """Per-parameter median (type-7 quantile at p=0.5), shape (P,)."""
+    return batched_quantile(x3, 0.5)
+
+
+def fold_around_median(x3):
+    """``abs(x - median(x_param))`` per parameter slice.
+
+    Reference: ``_fold_around_median`` src/utils.jl:148-158.
+    """
+    med = batched_median(x3)
+    return jnp.abs(x3 - med[None, None, :])
