@@ -1,2 +1,139 @@
-def mcse(*a, **k):
-    raise NotImplementedError
+"""Monte Carlo standard error (MCSE).
+
+Mirrors the reference mcse.jl capability surface:
+
+- ``kind="mean"``   — ``std / sqrt(ESS_mean)``  (src/mcse.jl:45-51)
+- ``kind="std"``    — delta method on the proxy ``(x - mean)^2``:
+  ``sqrt((E[mu4]/E[var] - E[var]) / S) / 2``  (src/mcse.jl:52-65)
+- ``kind="median"`` / ``Quantile(p)`` — Beta(S*p+1, S*(1-p)+1) asymptotic
+  error distribution evaluated at normcdf(+-1), mapped through the inverse
+  ECDF: ``mcse = (x_u - x_l) / 2``  (src/mcse.jl:96-118)
+- any callable — subsampling bootstrap (SBM) over overlapping batches of size
+  ``batch_size`` (default ``floor(sqrt(draws*chains))``), uncorrected variance,
+  scaled by ``sqrt(b/n)``  (src/mcse.jl:120-148)
+
+The quantile path is fully batched: one sort per parameter block plus a
+batched ``betaincinv``; the indices l/u are data-dependent gathers, which XLA
+supports natively.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ranknorm import _flatten_sample, _has_nan_cols
+from ..ops.special import betaincinv
+from ..utils.layout import canonicalize, maybe_scalar
+from .ess_rhat import Quantile, _ess_array
+
+# standard normal CDF at +1 / -1 (reference src/mcse.jl:1-2)
+_NORMCDF1 = 0.8413447460685429
+_NORMCDFN1 = 0.15865525393145705
+
+
+def mcse(samples, *, kind="mean", batch_size: int | None = None, **ess_kwargs):
+    """MCSE of the estimator ``kind`` applied to ``samples``.
+
+    ``samples`` has shape ``(draws[, chains[, parameters...]])``. ``kind`` is
+    ``"mean"`` (default), ``"std"``, ``"median"``, ``Quantile(p)``, or any
+    callable (SBM fallback; only ``batch_size`` applies). Remaining kwargs are
+    forwarded to the ESS computation (``split_chains``, ``maxlag``,
+    ``autocov_method``).
+    """
+    x3, pshape = canonicalize(samples)
+    if callable(kind) and not isinstance(kind, Quantile):
+        if ess_kwargs:
+            raise TypeError(
+                "the SBM fallback only accepts `batch_size`; "
+                f"got extra kwargs {sorted(ess_kwargs)}"
+            )
+        return maybe_scalar(_mcse_sbm(x3, kind, batch_size), pshape)
+    if batch_size is not None:
+        raise TypeError("`batch_size` only applies to the SBM (callable) fallback")
+    if kind == "mean":
+        return maybe_scalar(_mcse_mean(x3, ess_kwargs), pshape)
+    if kind == "std":
+        return maybe_scalar(_mcse_std(x3, ess_kwargs), pshape)
+    if kind == "median":
+        return maybe_scalar(_mcse_quantile(x3, 0.5, ess_kwargs), pshape)
+    if isinstance(kind, Quantile):
+        return maybe_scalar(_mcse_quantile(x3, float(kind.p), ess_kwargs), pshape)
+    raise ValueError(f"the `kind` `{kind!r}` is not supported by `mcse`")
+
+
+def _mcse_mean(x3, ess_kwargs):
+    s = _ess_array(x3, "mean", None, **ess_kwargs)
+    mean = jnp.mean(x3, axis=(0, 1), keepdims=True)
+    c = x3 - mean
+    n = x3.shape[0] * x3.shape[1]
+    std = jnp.sqrt(jnp.sum(c * c, axis=(0, 1)) / (n - 1))
+    return std / jnp.sqrt(s)
+
+
+def _mcse_std(x3, ess_kwargs):
+    mean = jnp.mean(x3, axis=(0, 1), keepdims=True)
+    x2 = (x3 - mean) ** 2  # expectand proxy for std
+    s = _ess_array(x2, "mean", None, **ess_kwargs)
+    mean_var = jnp.mean(x2, axis=(0, 1))
+    mean_moment4 = jnp.mean(x2 * x2, axis=(0, 1))
+    return jnp.sqrt((mean_moment4 / mean_var - mean_var) / s) / 2.0
+
+
+def _mcse_quantile(x3, p: float, ess_kwargs):
+    s_eff = _ess_array(x3, "quantile", p, **ess_kwargs)  # (P,)
+    return _mcse_quantile_from_ess(x3, p, s_eff)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _mcse_quantile_from_ess(x3, p: float, s_eff):
+    """Beta error-distribution quantile MCSE (src/mcse.jl:96-118), batched."""
+    xf = _flatten_sample(x3)
+    n = xf.shape[0]
+    xs = jnp.sort(xf, axis=0)  # (N, P)
+    alpha = s_eff * p + 1.0
+    beta = s_eff * (1.0 - p) + 1.0
+    prob_upper = betaincinv(alpha, beta, _NORMCDF1)
+    prob_lower = betaincinv(alpha, beta, _NORMCDFN1)
+    # inverse ECDF with 1-based l/u clamped to [1, N] (src/mcse.jl:111-112)
+    l = jnp.clip(jnp.floor(prob_lower * n), 1, n).astype(jnp.int32)
+    u = jnp.clip(jnp.ceil(prob_upper * n), 1, n).astype(jnp.int32)
+    x_l = jnp.take_along_axis(xs, (l - 1)[None, :], axis=0)[0]
+    x_u = jnp.take_along_axis(xs, (u - 1)[None, :], axis=0)[0]
+    out = (x_u - x_l) / 2.0
+    bad = jnp.isnan(s_eff) | _has_nan_cols(xf)
+    return jnp.where(bad, jnp.nan, out)
+
+
+def _mcse_sbm(x3, f, batch_size: int | None):
+    """Subsampling bootstrap MCSE for an arbitrary estimator ``f``.
+
+    ``f`` receives 1-d windows of the chain-major flattened sample (draws of
+    chain 0, then chain 1, ...), must accept a jnp array and return a scalar.
+    Reference: src/mcse.jl:120-148.
+    """
+    ndraws, nchains, nparams = x3.shape
+    n = ndraws * nchains
+    b = int(jnp.sqrt(n)) if batch_size is None else int(batch_size)
+    if not 0 < b <= n:
+        raise ValueError("batch_size must be in [1, draws*chains]")
+    # chain-major flatten: Julia's vec() of the (draws, chains) matrix
+    flat = jnp.moveaxis(x3, 1, 0).reshape(n, nparams)
+
+    nwin = n - b + 1
+    starts = jnp.arange(nwin)
+
+    def stat_for_window(start):
+        win = jax.lax.dynamic_slice(flat, (start, 0), (b, nparams))  # (b, P)
+        return jax.vmap(f, in_axes=1)(win)  # (P,)
+
+    vals = jax.lax.map(stat_for_window, starts)  # (nwin, P)
+    mean = jnp.mean(vals, axis=0, keepdims=True)
+    var = jnp.mean((vals - mean) ** 2, axis=0)  # uncorrected (ddof=0)
+    out = jnp.sqrt(var * (b / n))
+    # all-equal slices and NaN slices degrade to NaN (src/mcse.jl:136-142)
+    allsame = jnp.all(flat == flat[0][None], axis=0)
+    bad = allsame | _has_nan_cols(flat)
+    return jnp.where(bad, jnp.nan, out)

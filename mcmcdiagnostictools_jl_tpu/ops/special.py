@@ -94,7 +94,7 @@ def besselk_quarter(x):
     cosh_vt = jnp.cosh(0.25 * t)
     w = jnp.full((n + 1,), h, dtype).at[0].set(h / 2)
     # clip the exponent to avoid inf*0 NaNs for large x*cosh(t)
-    expo = jnp.clip(x[..., None] * cosh_t, a_max=745.0)
+    expo = jnp.clip(x[..., None] * cosh_t, max=745.0)
     vals = jnp.exp(-expo) * cosh_vt * w
     res = jnp.sum(vals, axis=-1)
     return jnp.where(x > 0, res, jnp.nan)

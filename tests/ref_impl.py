@@ -250,3 +250,188 @@ def ar1_matrix(rng, phi: float, sigma: float, size) -> np.ndarray:
     for t in range(1, size[0]):
         out[t] = phi * out[t - 1] + sigma * noise[t]
     return out
+
+
+# ---------------------------------------------------------------------------
+# mcse (oracle)
+# ---------------------------------------------------------------------------
+
+_NORMCDF1 = 0.8413447460685429
+_NORMCDFN1 = 0.15865525393145705
+
+
+def mcse_mean(x, **kw):
+    s = ess(x, kind="mean", **kw)
+    dims = (0,) if x.ndim == 1 else (0, 1)
+    return x.std(axis=dims, ddof=1) / np.sqrt(s)
+
+
+def mcse_std(x, **kw):
+    dims = (0,) if x.ndim == 1 else (0, 1)
+    x2 = (x - x.mean(axis=dims, keepdims=True)) ** 2
+    s = ess(x2, kind="mean", **kw)
+    mv = x2.mean(axis=dims)
+    m4 = (x2**2).mean(axis=dims)
+    return np.sqrt((m4 / mv - mv) / s) / 2
+
+
+def _mcse_quantile_scalar(flat, p, seff):
+    from scipy.special import betaincinv as betaincinv_
+    if np.isnan(seff):
+        return np.nan
+    n = len(flat)
+    a = seff * p + 1
+    b = seff * (1 - p) + 1
+    pu = betaincinv_(a, b, _NORMCDF1)
+    pl = betaincinv_(a, b, _NORMCDFN1)
+    l = int(max(np.floor(pl * n), 1))
+    u = int(min(np.ceil(pu * n), n))
+    xs = np.sort(flat)
+    return (xs[u - 1] - xs[l - 1]) / 2
+
+
+def mcse_quantile(x, p, **kw):
+    s = ess(x, kind="quantile", q=p, **kw)
+    if x.ndim < 3:
+        return _mcse_quantile_scalar(np.asarray(x, float).reshape(-1), p, float(s))
+    shp = out_shape(x)
+    s_flat = np.asarray(s).reshape(-1)
+    vals = np.empty(s_flat.shape)
+    for pi, xs in params_iter(np.asarray(x, float)):
+        vals[pi] = _mcse_quantile_scalar(xs.reshape(-1, order="F"), p, s_flat[pi])
+    return vals.reshape(shp)
+
+
+def mcse_sbm(x, f, batch_size=None):
+    def one(flat):
+        n = len(flat)
+        b = int(np.floor(np.sqrt(n))) if batch_size is None else batch_size
+        if np.all(flat == flat[0]):
+            return np.nan
+        vals = np.array([f(flat[i : i + b]) for i in range(n - b + 1)])
+        return np.sqrt(vals.var(ddof=0) * (b / n))
+
+    if x.ndim < 3:
+        return one(np.asarray(x, float).reshape(-1, order="F"))
+    shp = out_shape(x)
+    vals = np.empty(int(np.prod(shp)))
+    for pi, xs in params_iter(np.asarray(x, float)):
+        vals[pi] = one(xs.reshape(-1, order="F"))
+    return vals.reshape(shp)
+
+
+# ---------------------------------------------------------------------------
+# nested rhat (oracle)
+# ---------------------------------------------------------------------------
+
+
+def rhat_nested_basic(x, superchain_ids, split_chains=2):
+    ids = np.asarray(superchain_ids)
+    uniq = np.unique(ids)
+    shp = out_shape(x)
+    nparam = int(np.prod(shp)) if shp else 1
+    rh = np.full(nparam, np.nan)
+    for pidx, xs in params_iter(np.asarray(x, float)):
+        var_within = 0.0
+        sc_means = []
+        for u in uniq:
+            cols = np.flatnonzero(ids == u)
+            samples = split_matrix(xs[:, cols], split_chains)
+            m = samples.shape[1]
+            cm = samples.mean(axis=0)
+            cv = samples.var(axis=0, ddof=1)
+            wk = cv.mean()
+            bk = cm.var(ddof=1) if m > 1 else 0.0
+            sc_means.append(cm.mean())
+            var_within += wk + bk
+        var_within /= len(uniq)
+        var_between = np.var(sc_means, ddof=1)
+        rh[pidx] = np.sqrt(1 + var_between / var_within)
+    return rh.reshape(shp) if shp else rh[0]
+
+
+def rhat_nested(x, superchain_ids, kind="rank", split_chains=2):
+    if kind == "basic":
+        return rhat_nested_basic(x, superchain_ids, split_chains)
+    if kind == "bulk":
+        return rhat_nested_basic(rank_normalize(x), superchain_ids, split_chains)
+    if kind == "tail":
+        return rhat_nested_basic(
+            rank_normalize(fold_around_median(x)), superchain_ids, split_chains
+        )
+    if kind == "rank":
+        return np.maximum(
+            rhat_nested(x, superchain_ids, "bulk", split_chains),
+            rhat_nested(x, superchain_ids, "tail", split_chains),
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Gelman-Rubin-Brooks PSRF (oracle)
+# ---------------------------------------------------------------------------
+
+
+def gelmandiag(psi, alpha=0.05):
+    """Brooks & Gelman (1998) corrected PSRF with F-based upper CI."""
+    from scipy import stats as spstats
+
+    psi = np.asarray(psi, float)
+    niters, nchains, nparams = psi.shape
+    rfixed = (niters - 1) / niters
+    rrandomscale = (nchains + 1) / (nchains * niters)
+
+    s2_list = [np.cov(psi[:, i, :], rowvar=False, ddof=1).reshape(nparams, nparams)
+               for i in range(nchains)]
+    w_full = np.mean(s2_list, axis=0)
+    psibar = psi.mean(axis=0)  # (C, P)
+    b_full = niters * np.cov(psibar, rowvar=False, ddof=1).reshape(nparams, nparams)
+
+    w = np.diag(w_full)
+    b = np.diag(b_full)
+    s2 = np.stack([np.diag(m) for m in s2_list], axis=0)  # (C, P)
+    psibar2 = psibar.mean(axis=0)
+
+    def covdiag(xx, yy):
+        xc = xx - xx.mean(axis=0)
+        yc = yy - yy.mean(axis=0)
+        return (xc * yc).sum(axis=0) / (xx.shape[0] - 1)
+
+    var_w = s2.var(axis=0, ddof=1) / nchains
+    var_b = (2 / (nchains - 1)) * b**2
+    var_wb = (niters / nchains) * (
+        covdiag(s2, psibar**2) - 2 * psibar2 * covdiag(s2, psibar)
+    )
+
+    v = rfixed * w + rrandomscale * b
+    var_v = rfixed**2 * var_w + rrandomscale**2 * var_b + 2 * rfixed * rrandomscale * var_wb
+    df = 2 * v**2 / var_v
+    b_df = nchains - 1
+    w_df = 2 * w**2 / var_w
+
+    estimates = np.empty(nparams)
+    upper = np.empty(nparams)
+    qq = 1 - alpha / 2
+    for i in range(nparams):
+        correction = (df[i] + 3) / (df[i] + 1)
+        rrandom = rrandomscale * b[i] / w[i]
+        estimates[i] = np.sqrt(correction * (rfixed + rrandom))
+        if not np.isnan(rrandom):
+            rrandom *= spstats.f.ppf(qq, b_df, w_df[i])
+        upper[i] = np.sqrt(correction * (rfixed + rrandom))
+    return estimates, upper, w_full, b_full
+
+
+def gelman_multivariate(psi, alpha=0.05):
+    import scipy.linalg as sla
+
+    psi = np.asarray(psi, float)
+    niters, nchains, nparams = psi.shape
+    est, up, w_full, b_full = gelmandiag(psi, alpha)
+    rfixed = (niters - 1) / niters
+    rrandomscale = (nchains + 1) / (nchains * niters)
+    l = np.linalg.cholesky(w_full)
+    y = sla.solve_triangular(l, sla.solve_triangular(l, b_full, lower=True).T,
+                             lower=True)
+    lam = np.max(np.linalg.eigvalsh((y + y.T) / 2))
+    return est, up, rfixed + rrandomscale * lam
