@@ -1,0 +1,11 @@
+from .mesh import MeshConfig, make_mesh, shard_canonical, CHAIN_AXIS, PARAM_AXIS
+from .sharded import ess_rhat_sharded
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "shard_canonical",
+    "ess_rhat_sharded",
+    "CHAIN_AXIS",
+    "PARAM_AXIS",
+]

@@ -1,0 +1,209 @@
+"""shard_map'ed diagnostics over a (chains, params) mesh.
+
+The single-device pipeline in ``diagnostics.ess_rhat`` is re-expressed here
+with explicit collectives (SURVEY.md section 5):
+
+- cross-chain scalar statistics (W, var_plus, B) — two psums over the chain
+  axis of per-chain partial sums (numerically two-pass: grand mean first,
+  then centered second moments);
+- the mean autocovariance curve — one psum of the local-chain
+  ``(maxlag+1, P_local)`` block;
+- the sort-based transforms (rank-normalize, fold, quantile proxies) need the
+  global per-parameter sample, obtained with one all_gather over the chain
+  axis; each device then slices its own chains back out, so FFT work stays
+  with the chain owners. (A fully distributed sort is the planned
+  optimization; the all_gather rides ICI and is exact.)
+
+The single-device path is the K=1 special case of the same code — no forked
+logic; parity with ``diagnostics.ess_rhat`` is asserted in tests on a virtual
+8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..diagnostics.ess_rhat import ESSRhat, _method_name
+from ..ops.autocov import mean_autocov_curve
+from ..ops.geyer import geyer_ess_from_rho
+from ..ops.ranknorm import (
+    fold_around_median,
+    rank_normalize,
+    batched_quantile,
+    _has_nan_cols,
+)
+from ..utils.layout import canonicalize, maybe_scalar
+from ..utils.split import split_chains_reshape
+from .mesh import MeshConfig, shard_canonical
+
+
+def _my_chain_slice(gathered, local_chains: int, axis_name: str):
+    """Slice this device's chain block back out of an all_gathered array."""
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(
+        gathered, idx * local_chains, local_chains, axis=1
+    )
+
+
+def _sharded_moments(samples, chain_axis: str):
+    """Cross-chain W / var_plus / rhat via psums. samples: local (niter, c, P)."""
+    niter, c_loc, _ = samples.shape
+    kshards = jax.lax.psum(1, chain_axis)
+    nchains = c_loc * kshards
+
+    chain_mean = jnp.mean(samples, axis=0)  # (c, P)
+    centered = samples - chain_mean[None]
+    chain_var = jnp.sum(centered * centered, axis=0) / (niter - 1)
+    w = jax.lax.psum(jnp.sum(chain_var, axis=0), chain_axis) / nchains
+
+    grand = jax.lax.psum(jnp.sum(chain_mean, axis=0), chain_axis) / nchains
+    dm = chain_mean - grand[None]
+    if nchains > 1:
+        between = jax.lax.psum(jnp.sum(dm * dm, axis=0), chain_axis) / (nchains - 1)
+    else:
+        between = jnp.zeros_like(grand)
+    var_plus = (niter - 1) / niter * w + between
+
+    # degenerate (all-identical) slices -> NaN, across every shard
+    first = samples[0, 0]
+    loc_same = jnp.all(samples == first[None, None], axis=(0, 1))
+    glob_same = (
+        (jax.lax.pmin(jnp.where(loc_same, 1, 0), chain_axis) == 1)
+        & (jax.lax.pmax(first, chain_axis) == jax.lax.pmin(first, chain_axis))
+    )
+    var_plus = jnp.where(glob_same, jnp.nan, var_plus)
+    rhat = jnp.sqrt(var_plus / w)
+    return chain_mean, chain_var, centered, w, var_plus, rhat, nchains
+
+
+def _sharded_basic(xb, *, split_chains, maxlag, method, relative, chain_axis):
+    """Basic ESS + R-hat on this device's chain/param block with collectives."""
+    samples = split_chains_reshape(xb, split_chains)
+    niter = samples.shape[0]
+    c_loc = samples.shape[1]
+    (chain_mean, chain_var, centered, w, var_plus, rhat, nchains) = _sharded_moments(
+        samples, chain_axis
+    )
+    ntotal = niter * nchains
+    acov_local = mean_autocov_curve(centered, chain_var, maxlag, method)  # (L+1, Ploc)
+    acov = jax.lax.psum(acov_local * c_loc, chain_axis) / nchains
+    rho = 1.0 - (w[None] - acov) / var_plus[None]
+    ess = geyer_ess_from_rho(rho, ntotal, relative)
+    return ess, rhat
+
+
+def _sharded_rhat_basic(xb, *, split_chains, chain_axis):
+    samples = split_chains_reshape(xb, split_chains)
+    return _sharded_moments(samples, chain_axis)[5]
+
+
+def _global_transform(xb, transform, chain_axis: str):
+    """Apply a global-sample transform via all_gather + slice-back."""
+    c_loc = xb.shape[1]
+    full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
+    return _my_chain_slice(transform(full), c_loc, chain_axis)
+
+
+def _sharded_quantile_proxy(xb, q, chain_axis: str):
+    c_loc = xb.shape[1]
+    full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
+    thr = batched_quantile(full, q)  # (P_loc,) identical on all chain shards
+    y = (xb <= thr[None, None, :]).astype(xb.dtype)
+    has_nan = _has_nan_cols(full.reshape(-1, full.shape[2]))
+    return jnp.where((jnp.isnan(thr) | has_nan)[None, None, :], jnp.nan, y)
+
+
+def _sharded_kernel(
+    xb, *, kind, split_chains, maxlag, method, relative, q, chain_axis
+):
+    if kind == "basic":
+        return _sharded_basic(
+            xb, split_chains=split_chains, maxlag=maxlag, method=method,
+            relative=relative, chain_axis=chain_axis,
+        )
+    if kind == "bulk":
+        y = _global_transform(xb, rank_normalize, chain_axis)
+        return _sharded_basic(
+            y, split_chains=split_chains, maxlag=maxlag, method=method,
+            relative=relative, chain_axis=chain_axis,
+        )
+    if kind == "tail":
+        tail_prob = 0.1 if q is None else q
+        ess_parts = []
+        for p in (tail_prob / 2, 1 - tail_prob / 2):
+            proxy = _sharded_quantile_proxy(xb, p, chain_axis)
+            e, _ = _sharded_basic(
+                proxy, split_chains=split_chains, maxlag=maxlag, method=method,
+                relative=relative, chain_axis=chain_axis,
+            )
+            ess_parts.append(e)
+        ess = jnp.minimum(*ess_parts)
+        folded = _global_transform(
+            xb, lambda f: rank_normalize(fold_around_median(f)), chain_axis
+        )
+        rhat = _sharded_rhat_basic(folded, split_chains=split_chains,
+                                   chain_axis=chain_axis)
+        return ess, rhat
+    if kind == "rank":
+        y = _global_transform(xb, rank_normalize, chain_axis)
+        ess_bulk, rhat_bulk = _sharded_basic(
+            y, split_chains=split_chains, maxlag=maxlag, method=method,
+            relative=relative, chain_axis=chain_axis,
+        )
+        folded = _global_transform(
+            xb, lambda f: rank_normalize(fold_around_median(f)), chain_axis
+        )
+        rhat_tail = _sharded_rhat_basic(folded, split_chains=split_chains,
+                                        chain_axis=chain_axis)
+        return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+def ess_rhat_sharded(
+    samples,
+    cfg: MeshConfig,
+    *,
+    kind: str = "rank",
+    split_chains: int = 2,
+    maxlag: int = 250,
+    autocov_method="fft",
+    relative: bool = False,
+    tail_prob: float = 0.1,
+):
+    """ESS + R-hat over a chain/param-sharded mesh.
+
+    ``samples`` has the canonical shape ``(draws, chains[, parameters...])``;
+    it is placed with sharding ``P(None, chains, params)`` and every
+    collective stays inside one jitted shard_map. Results are replicated over
+    the chain axis and sharded over params.
+    """
+    x3, pshape = canonicalize(samples)
+    niter = x3.shape[0] // split_chains
+    if niter <= 4:
+        raise ValueError("sharded ess_rhat requires >4 draws per split chain")
+    eff_maxlag = min(maxlag, niter - 4)
+    x3 = shard_canonical(x3, cfg)
+    q = tail_prob if kind == "tail" else None
+
+    fn = shard_map(
+        partial(
+            _sharded_kernel,
+            kind=kind,
+            split_chains=split_chains,
+            maxlag=eff_maxlag,
+            method=_method_name(autocov_method),
+            relative=relative,
+            q=q,
+            chain_axis=cfg.chain_axis,
+        ),
+        mesh=cfg.mesh,
+        in_specs=(cfg.data_spec,),
+        out_specs=(cfg.param_spec, cfg.param_spec),
+    )
+    ess, rhat = jax.jit(fn)(x3)
+    return ESSRhat(maybe_scalar(ess, pshape), maybe_scalar(rhat, pshape))
