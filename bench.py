@@ -1,0 +1,91 @@
+"""Benchmark: rank-kind ESS + R-hat throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- Workload: BASELINE.md config 4 scaled to a single chip — 10k draws x 128
+  chains x P params, f32 fast mode, kind="rank" (2 rank-sorts + fold + 2
+  batched rFFT autocovariance passes + vectorized Geyer reduction).
+- value: parameter-draws per second (params * draws / wall_s), median of 3
+  timed runs after a warmup/compile run.
+- vs_baseline: ratio against a single-core NumPy/SciPy float64 implementation
+  of the same rank-kind pipeline (tests/ref_impl.py), whose per-element
+  throughput is measured on a small config and scaled — the only available
+  reference point, since the upstream library publishes no numbers
+  (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+DRAWS = 10_000
+CHAINS = 128
+PARAMS_CANDIDATES = (256, 128, 64)
+BASELINE_DRAWS, BASELINE_CHAINS, BASELINE_PARAMS = 2_000, 8, 4
+
+
+def _baseline_throughput() -> float:
+    """Single-core NumPy f64 rank-kind ESS+R-hat throughput (param-draws/s)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import ref_impl
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((BASELINE_DRAWS, BASELINE_CHAINS, BASELINE_PARAMS))
+    t0 = time.perf_counter()
+    ref_impl.ess_rhat(x, kind="rank")
+    dt = time.perf_counter() - t0
+    return BASELINE_DRAWS * BASELINE_PARAMS / dt
+
+
+def main() -> None:
+    import jax
+    import mcmcdiagnostictools_jl_tpu as mdt
+
+    rng = np.random.default_rng(0)
+
+    last_err = None
+    for params in PARAMS_CANDIDATES:
+        try:
+            x = jax.device_put(
+                rng.standard_normal((DRAWS, CHAINS, params)).astype(np.float32)
+            )
+            # warmup / compile
+            r = mdt.ess_rhat(x, kind="rank")
+            np.asarray(r.ess)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = mdt.ess_rhat(x, kind="rank")
+                jax.block_until_ready((r.ess, r.rhat))
+                times.append(time.perf_counter() - t0)
+            dt = sorted(times)[1]
+            value = DRAWS * params / dt
+            baseline = _baseline_throughput()
+            print(
+                json.dumps(
+                    {
+                        "metric": "ess_rhat_rank_throughput_1chip",
+                        "value": round(value, 1),
+                        "unit": "param-draws/s",
+                        "vs_baseline": round(value / baseline, 2),
+                        "config": f"{DRAWS}x{CHAINS}x{params} f32",
+                        "wall_s": round(dt, 4),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # OOM on large configs -> try smaller
+            last_err = e
+            continue
+    raise SystemExit(f"bench failed for all configs: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

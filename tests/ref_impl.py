@@ -435,3 +435,71 @@ def gelman_multivariate(psi, alpha=0.05):
                              lower=True)
     lam = np.max(np.linalg.eigvalsh((y + y.T) / 2))
     return est, up, rfixed + rrandomscale * lam
+
+
+# ---------------------------------------------------------------------------
+# discrete diagnostics (oracle: literal per-element loops)
+# ---------------------------------------------------------------------------
+
+
+def weiss_sub_loop(u, v, t):
+    m, d = u.shape
+    nt = dt_ = 0.0
+    m_tot = 0
+    mp = np.zeros((m, d))
+    ma = np.zeros(m)
+    chi_stat = np.zeros(d)
+    for j in range(m):
+        p1 = p2 = 0.0
+        for l in range(d):
+            p1 += v[j, l] / (d * (t - 1))
+            p2 += u[j, l] / (d * t)
+            mp[j, l] = u[j, l] / t
+            ma[j] += u[j, l] / (d * t)
+        nt += p1
+        dt_ += p2**2
+        if ma[j] > 0:
+            m_tot += 1
+            for l in range(d):
+                chi_stat[l] += (mp[j, l] - ma[j]) ** 2 / ma[j]
+    phia = 1.0 + 1.0 / t - (1 - nt) / (1 - dt_)
+    phia = min(max(phia, 0.0), 1.0 - np.finfo(float).eps)
+    return phia, chi_stat, m_tot
+
+
+def billingsley_sub_loop(f):
+    m, _, d = f.shape
+    mf = f.sum(axis=1)  # (m, d)
+    a = (mf > 0).sum(axis=1)
+    b = (f.sum(axis=2) > 0).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = f / mf[:, None, :]
+        mp = f.sum(axis=2) / mf.sum(axis=1)[:, None]
+    mp = np.nan_to_num(mp, nan=0.0)
+    df = 0.0
+    stat = 0.0
+    idx = [j for j in range(m) if a[j] * b[j] > 0]
+    for j in idx:
+        df += (a[j] - 1) * (b[j] - 1)
+        for k in idx:
+            if mp[j, k] > 0:
+                for l in range(d):
+                    if mf[j, l] > 0 and np.isfinite(p[j, k, l]):
+                        stat += mf[j, l] * (p[j, k, l] - mp[j, k]) ** 2 / mp[j, k]
+    return stat, df, mp
+
+
+def discrete_counts_loop(y, m):
+    """u, v, f(to,from) built with the reference's per-draw scan."""
+    n, d = y.shape
+    u = np.zeros((m, d), dtype=int)
+    v = np.zeros((m, d), dtype=int)
+    f = np.zeros((m, m, d), dtype=int)
+    for t in range(n):
+        for c in range(d):
+            u[y[t, c], c] += 1
+            if t > 0:
+                f[y[t, c], y[t - 1, c], c] += 1
+                if y[t - 1, c] == y[t, c]:
+                    v[y[t, c], c] += 1
+    return u, v, f
