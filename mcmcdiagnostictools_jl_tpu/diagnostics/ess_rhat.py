@@ -166,17 +166,40 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "split_chains", "maxlag", "method", "relative", "q"),
+    static_argnames=(
+        "kind", "split_chains", "maxlag", "method", "relative", "q", "param_chunk",
+    ),
 )
 def _ess_rhat_pipeline(
     x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
-    q: float | None = None,
+    q: float | None = None, param_chunk: int | None = None,
 ):
     """Full ess/rhat pipeline for one symbolic or estimator kind.
 
     ``kind`` in {"basic","bulk","tail","rank"} or estimator names; returns
     ``(ess, rhat)`` with NaN placeholders where a component is not computed.
+
+    ``param_chunk`` bounds peak memory: the parameter axis is processed in
+    chunks of that size with ``lax.map`` (each chunk still saturates the
+    chip; every kernel is per-parameter independent, so chunking is exact).
     """
+    nparams = x3.shape[2]
+    if param_chunk is not None and nparams > param_chunk:
+        npad = (-nparams) % param_chunk
+        xpad = jnp.pad(x3, ((0, 0), (0, 0), (0, npad)))
+        d, c = x3.shape[0], x3.shape[1]
+        chunks = jnp.moveaxis(
+            xpad.reshape(d, c, -1, param_chunk), 2, 0
+        )  # (nchunks, d, c, chunk)
+
+        def one_chunk(xc):
+            return _ess_rhat_pipeline(
+                xc, kind=kind, split_chains=split_chains, maxlag=maxlag,
+                method=method, relative=relative, q=q,
+            )
+
+        ess_c, rhat_c = jax.lax.map(one_chunk, chunks)
+        return ess_c.reshape(-1)[:nparams], rhat_c.reshape(-1)[:nparams]
     if kind == "basic":
         return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
     if kind == "bulk":
@@ -271,6 +294,7 @@ def ess(
     split_chains: int = 2,
     maxlag: int = 250,
     tail_prob: float = 0.1,
+    param_chunk: int | None = None,
 ):
     """Effective sample size of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
@@ -300,6 +324,7 @@ def ess(
         method=_method_name(autocov_method),
         relative=relative,
         q=q,
+        param_chunk=param_chunk,
     )
     return maybe_scalar(ess_vals, pshape)
 
@@ -326,6 +351,7 @@ def ess_rhat(
     split_chains: int = 2,
     maxlag: int = 250,
     tail_prob: float = 0.1,
+    param_chunk: int | None = None,
 ):
     """Joint ESS and R-hat (more efficient than separate calls).
 
@@ -353,6 +379,7 @@ def ess_rhat(
         method=_method_name(autocov_method),
         relative=relative,
         q=q,
+        param_chunk=param_chunk,
     )
     return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
 

@@ -241,3 +241,21 @@ class TestErrorsAndWarnings:
     def test_bad_quantile(self):
         with pytest.raises(ValueError):
             Quantile(1.5)
+
+
+class TestParamChunking:
+    @pytest.mark.parametrize("chunk", [1, 2, 3, 5])
+    def test_chunked_equals_unchunked(self, rng, chunk):
+        x = rng.standard_normal((300, 4, 7))
+        full = mdt.ess_rhat(x, kind="rank")
+        chunked = mdt.ess_rhat(x, kind="rank", param_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(chunked.ess), np.asarray(full.ess),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(chunked.rhat), np.asarray(full.rhat),
+                                   rtol=1e-12)
+
+    def test_chunked_ess_estimators(self, rng):
+        x = rng.standard_normal((300, 4, 7))
+        a = np.asarray(mdt.ess(x, kind="std", param_chunk=2))
+        b = np.asarray(mdt.ess(x, kind="std"))
+        np.testing.assert_allclose(a, b, rtol=1e-12)
