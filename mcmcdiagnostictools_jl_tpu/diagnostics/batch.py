@@ -1,0 +1,157 @@
+"""Batched classical diagnostics over (draws, chains[, parameters...]).
+
+The reference's Geweke / Heidelberger-Welch / Raftery-Lewis functions are
+single-vector APIs (one chain at a time). These wrappers evaluate them for
+every (chain, parameter) series at once, which is what the batched-suite
+benchmark configuration exercises (BASELINE.md config 3):
+
+- ``gewekediag_batch`` — fully vectorized: the window means and MCSEs batch
+  by folding (chain, param) into the parameter axis with a single-chain
+  layout, exactly reproducing the scalar ``gewekediag`` numbers.
+- ``heideldiag_batch`` — the burn-in scan has a static candidate list
+  (starts 1, 1+delta, ... < n/2), so every candidate's Cramer-von Mises
+  statistic and MCSE is computed batched and the per-series "first converged
+  candidate" is a vectorized select, matching the scalar loop's semantics.
+- ``rafterydiag_batch`` — the BIC thinning search is inherently sequential
+  per series and cheap; it loops on the host.
+
+All outputs have shape ``(chains, *param_shape)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erfcinv
+
+from ..ops.special import pcramer
+from ..utils.layout import canonicalize
+from .mcse import mcse
+from .rafterydiag import RafteryResult, rafterydiag
+
+
+class GewekeBatchResult(NamedTuple):
+    zscore: np.ndarray  # (chains, *pshape)
+    pvalue: np.ndarray
+
+
+class HeidelBatchResult(NamedTuple):
+    burnin: np.ndarray
+    stationarity: np.ndarray
+    pvalue: np.ndarray
+    mean: np.ndarray
+    halfwidth: np.ndarray
+    test: np.ndarray
+
+
+def _series_matrix(samples):
+    """(draws, chains, P) canonical -> (draws, 1, chains*P) single-chain layout
+    plus the output shape (chains, *pshape)."""
+    x3, pshape = canonicalize(samples, min_ndim=2)
+    d, c, p = x3.shape
+    flat = x3.reshape(d, 1, c * p)  # series index = chain * P + param
+    return x3, flat, (c,) + pshape
+
+
+def _mcse_series(flat, **kw):
+    """MCSE per series of the (draws, 1, S) stack with split_chains=1."""
+    return np.asarray(mcse(flat, split_chains=1, **kw))
+
+
+def gewekediag_batch(samples, *, first: float = 0.1, last: float = 0.5,
+                     **mcse_kwargs):
+    """Batched Geweke diagnostic; see :func:`gewekediag` for semantics."""
+    if not 0 < first < 1:
+        raise ValueError("`first` is not in (0, 1)")
+    if not 0 < last < 1:
+        raise ValueError("`last` is not in (0, 1)")
+    if first + last > 1:
+        raise ValueError("`first` and `last` proportions overlap")
+    x3, flat, out_shape = _series_matrix(samples)
+    n = x3.shape[0]
+    w1 = flat[: round(first * n)]
+    w2 = flat[round(n - last * n + 1) - 1 :]
+    s1 = _mcse_series(w1, **mcse_kwargs)
+    s2 = _mcse_series(w2, **mcse_kwargs)
+    m1 = np.asarray(jnp.mean(w1[:, 0, :], axis=0))
+    m2 = np.asarray(jnp.mean(w2[:, 0, :], axis=0))
+    z = (m1 - m2) / np.hypot(s1, s2)
+    p = np.vectorize(math.erfc)(np.abs(z) / math.sqrt(2))
+    return GewekeBatchResult(z.reshape(out_shape), p.reshape(out_shape))
+
+
+def heideldiag_batch(samples, *, alpha: float = 0.05, eps: float = 0.1,
+                     start: int = 1, **mcse_kwargs):
+    """Batched Heidelberger-Welch; see :func:`heideldiag` for semantics."""
+    x3, flat, out_shape = _series_matrix(samples)
+    n = x3.shape[0]
+    nseries = flat.shape[2]
+    delta = int(0.10 * n)
+    half = flat[int(n / 2) - 1 :]
+    s = _mcse_series(half, **mcse_kwargs)
+    s0 = half.shape[0] * s**2  # (S,)
+
+    starts = []
+    i = 1
+    while i < n / 2:
+        starts.append(i)
+        i += delta
+    i_exit = i  # first i >= n/2 (the loop-exit value, used for burnin when
+    # no candidate converges, src/heideldiag.jl:25-39)
+
+    pvals = np.empty((len(starts), nseries))
+    ybars = np.empty((len(starts), nseries))
+    halfw = np.empty((len(starts), nseries))
+    for k, i1 in enumerate(starts):
+        y = np.asarray(flat[i1 - 1 :, 0, :])  # (m, S)
+        m = y.shape[0]
+        ybar = y.mean(axis=0)
+        b = np.cumsum(y, axis=0) - ybar[None, :] * np.arange(1, m + 1)[:, None]
+        cvm = (b * b).sum(axis=0) / (m * s0) / m
+        pvals[k] = 1.0 - np.asarray(pcramer(jnp.asarray(cvm)))
+        ybars[k] = ybar
+        sk = _mcse_series(flat[i1 - 1 :], **mcse_kwargs)
+        halfw[k] = math.sqrt(2.0) * float(erfcinv(alpha)) * sk
+
+    converged_any = pvals > alpha
+    first_idx = np.argmax(converged_any, axis=0)
+    has_conv = converged_any.any(axis=0)
+    sel = np.where(has_conv, first_idx, len(starts) - 1)
+    rows = sel, np.arange(nseries)
+    pvalue = pvals[rows]
+    ybar = ybars[rows]
+    halfwidth = halfw[rows]
+    burnin = np.where(
+        has_conv,
+        np.asarray(starts)[sel] + start - 2,
+        i_exit + start - 2,
+    )
+    passed = halfwidth / np.abs(ybar) <= eps
+    return HeidelBatchResult(
+        burnin.reshape(out_shape),
+        has_conv.reshape(out_shape),
+        pvalue.reshape(out_shape),
+        ybar.reshape(out_shape),
+        halfwidth.reshape(out_shape),
+        passed.reshape(out_shape),
+    )
+
+
+def rafterydiag_batch(samples, **kwargs):
+    """Per-series Raftery-Lewis (host loop; the BIC search is sequential).
+
+    Returns a :class:`RafteryResult` of arrays shaped (chains, *pshape).
+    """
+    x3, flat, out_shape = _series_matrix(samples)
+    series = np.asarray(flat[:, 0, :])
+    results = [rafterydiag(series[:, j], **kwargs) for j in range(series.shape[1])]
+    stack = lambda attr: np.asarray(
+        [getattr(r, attr) for r in results]
+    ).reshape(out_shape)
+    return RafteryResult(
+        stack("thinning"), stack("burnin"), stack("total"), stack("nmin"),
+        stack("dependencefactor"),
+    )

@@ -38,15 +38,17 @@ def tiedrank(xf):
     """Tied ("average") 1-based ranks along axis 0 of ``xf`` with shape (N, P).
 
     Equal values receive the average of the ranks they would occupy. Matches
-    StatsBase.tiedrank used by the reference (src/utils.jl:180). Implemented as
-    one batched sort + segment-boundary cummax/cummin + inverse permutation —
-    O(N log N) per column on the TPU sort unit, fully batched over P.
+    StatsBase.tiedrank used by the reference (src/utils.jl:180).
+
+    TPU formulation: two multi-operand ``lax.sort`` calls with the permutation
+    carried as a payload through the sorting network — gather/scatter free
+    (per-element gathers are slow on TPU), fully batched over P.
     """
     n = xf.shape[0]
-    order = jnp.argsort(xf, axis=0)
-    xs = jnp.take_along_axis(xf, order, axis=0)
-    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    idx = jnp.broadcast_to(idx, xs.shape)
+    iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+    # one sort produces both sorted values and the permutation
+    xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
     neq_prev = xs[1:] != xs[:-1]
     first_of_group = jnp.concatenate(
         [jnp.ones((1, xs.shape[1]), dtype=bool), neq_prev], axis=0
@@ -59,8 +61,10 @@ def tiedrank(xf):
     # end[i] = index of the last element of i's tie group
     end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
     avg_rank_sorted = (start + end).astype(xf.dtype) * 0.5 + 1.0
-    inv = jnp.argsort(order, axis=0)
-    return jnp.take_along_axis(avg_rank_sorted, inv, axis=0)
+    # invert the permutation by sorting it back to the identity, carrying the
+    # ranks as payload (second sort instead of a scatter)
+    _, ranks = jax.lax.sort((order, avg_rank_sorted), dimension=0, num_keys=1)
+    return ranks
 
 
 def rank_normalize(x3):

@@ -14,6 +14,7 @@ static gather along the draw axis — split ``k`` (0-indexed) reads draws
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,8 +47,12 @@ def split_chains_reshape(x, split: int):
     ndraws, nchains = x.shape[0], x.shape[1]
     if split == 1:
         return x
-    idx = jnp.asarray(split_draw_indices(ndraws, split))  # (split, niter)
-    # (split, niter, chains, P) -> (niter, chains, split, P) -> (niter, chains*split, P)
-    y = x[idx.reshape(-1)].reshape((split, ndraws // split) + x.shape[1:])
-    y = jnp.moveaxis(y, 0, 2)  # (niter, chains, split, P)
-    return y.reshape(ndraws // split, nchains * split, *x.shape[2:])
+    niter = ndraws // split
+    d = ndraws % split
+    # static slices (no gather): split k reads draws [k*niter + min(k,d), +niter)
+    parts = [
+        jax.lax.slice_in_dim(x, k * niter + min(k, d), k * niter + min(k, d) + niter, axis=0)
+        for k in range(split)
+    ]
+    y = jnp.stack(parts, axis=2)  # (niter, chains, split, P)
+    return y.reshape(niter, nchains * split, *x.shape[2:])
