@@ -56,13 +56,16 @@ def main() -> None:
             x = jax.device_put(
                 rng.standard_normal((DRAWS, CHAINS, params)).astype(np.float32)
             )
+            # param_chunk bounds peak HBM (FFT buffers) so large workloads
+            # don't thrash; 64-param chunks saturate the chip
+            chunk = 64 if params > 64 else None
             # warmup / compile
-            r = mdt.ess_rhat(x, kind="rank")
+            r = mdt.ess_rhat(x, kind="rank", param_chunk=chunk)
             np.asarray(r.ess)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                r = mdt.ess_rhat(x, kind="rank")
+                r = mdt.ess_rhat(x, kind="rank", param_chunk=chunk)
                 jax.block_until_ready((r.ess, r.rhat))
                 times.append(time.perf_counter() - t0)
             dt = sorted(times)[1]

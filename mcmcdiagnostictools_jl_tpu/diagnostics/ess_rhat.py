@@ -45,6 +45,7 @@ from ..ops.ranknorm import (
     batched_quantile,
     fold_around_median,
     rank_normalize,
+    rank_normalize_with_median,
 )
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
@@ -147,15 +148,18 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     Mirrors the reference hot loop `_ess_rhat_basic!` (src/ess_rhat.jl:488-602)
     with the per-parameter loop replaced by the parameter axis of every kernel.
     """
-    samples = split_chains_reshape(x3, split_chains)
-    niter, nchains, _ = samples.shape
-    ntotal = niter * nchains
-    stats = chain_stats(samples)
-    centered = samples - stats.chain_mean[None]
-    acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)  # (L+1, P)
-    inv_var_plus = 1.0 / stats.var_plus
-    rho = 1.0 - (stats.w[None] - acov) * inv_var_plus[None]
-    ess = geyer_ess_from_rho(rho, ntotal, relative)
+    with jax.named_scope("mdt.split_moments"):
+        samples = split_chains_reshape(x3, split_chains)
+        niter, nchains, _ = samples.shape
+        ntotal = niter * nchains
+        stats = chain_stats(samples)
+        centered = samples - stats.chain_mean[None]
+    with jax.named_scope("mdt.autocov"):
+        acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)
+    with jax.named_scope("mdt.geyer"):
+        inv_var_plus = 1.0 / stats.var_plus
+        rho = 1.0 - (stats.w[None] - acov) * inv_var_plus[None]
+        ess = geyer_ess_from_rho(rho, ntotal, relative)
     return ess, stats.rhat
 
 
@@ -223,11 +227,11 @@ def _ess_rhat_pipeline(
         rhat = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
         return ess, rhat
     if kind == "rank":
-        ess_bulk, rhat_bulk = _ess_rhat_pipeline(
-            x3, kind="bulk", split_chains=split_chains, maxlag=maxlag,
-            method=method, relative=relative,
-        )
-        rhat_tail = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        z, med = rank_normalize_with_median(x3)  # one sort serves both
+        ess_bulk, rhat_bulk = _basic_ess_rhat(z, split_chains, maxlag, method,
+                                              relative)
+        folded = jnp.abs(x3 - med[None, None, :])
+        rhat_tail = _basic_rhat(rank_normalize(folded), split_chains)
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
@@ -241,8 +245,10 @@ def _rhat_pipeline(x3, *, kind: str, split_chains: int):
     if kind == "tail":
         return _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
     if kind == "rank":
-        bulk = _basic_rhat(rank_normalize(x3), split_chains)
-        tail = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        z, med = rank_normalize_with_median(x3)  # one sort serves both
+        bulk = _basic_rhat(z, split_chains)
+        folded = jnp.abs(x3 - med[None, None, :])
+        tail = _basic_rhat(rank_normalize(folded), split_chains)
         return jnp.maximum(tail, bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 

@@ -44,10 +44,16 @@ def tiedrank(xf):
     carried as a payload through the sorting network — gather/scatter free
     (per-element gathers are slow on TPU), fully batched over P.
     """
-    n = xf.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-    # one sort produces both sorted values and the permutation
+    # one sort produces both sorted values and the permutation; the inverse
+    # permutation is a second sort carrying the ranks as payload (no scatter)
     xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1)
+    return _tiedrank_sorted(xs, order)
+
+
+def _tiedrank_sorted(xs, order):
+    """Ranks in original positions from a presorted (values, permutation) pair."""
+    n = xs.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
     neq_prev = xs[1:] != xs[:-1]
     first_of_group = jnp.concatenate(
@@ -56,13 +62,9 @@ def tiedrank(xf):
     last_of_group = jnp.concatenate(
         [neq_prev, jnp.ones((1, xs.shape[1]), dtype=bool)], axis=0
     )
-    # start[i] = index of the first element of i's tie group
     start = jax.lax.cummax(jnp.where(first_of_group, idx, 0), axis=0)
-    # end[i] = index of the last element of i's tie group
     end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
-    avg_rank_sorted = (start + end).astype(xf.dtype) * 0.5 + 1.0
-    # invert the permutation by sorting it back to the identity, carrying the
-    # ranks as payload (second sort instead of a scatter)
+    avg_rank_sorted = (start + end).astype(xs.dtype) * 0.5 + 1.0
     _, ranks = jax.lax.sort((order, avg_rank_sorted), dimension=0, num_keys=1)
     return ranks
 
@@ -74,14 +76,29 @@ def rank_normalize(x3):
     Reference: ``_rank_normalize`` src/utils.jl:169-193. NaN in a slice yields
     an all-NaN slice (mirrors the all-missing rule, src/utils.jl:176-179).
     """
+    return rank_normalize_with_median(x3)[0]
+
+
+def rank_normalize_with_median(x3):
+    """Rank-normalize and return the per-parameter median from the same sort.
+
+    The rank/tail kinds need both the rank transform of ``x`` and its median
+    (for folding); sharing the sort saves one full O(N log N) pass — sorts are
+    the dominant cost of the rank pipeline on TPU.
+    """
     d, c, p = x3.shape
     xf = _flatten_sample(x3)
     n = xf.shape[0]
-    r = tiedrank(xf)
+    with jax.named_scope("mdt.rank_sort"):
+        iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+        xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1)
+        r = _tiedrank_sorted(xs, order)
     q = (r - 0.375) / (n + 0.25)
     z = ndtri(q)
-    z = jnp.where(_has_nan_cols(xf)[None, :], jnp.nan, z)
-    return z.reshape(d, c, p)
+    bad = _has_nan_cols(xf)[None, :]
+    z = jnp.where(bad, jnp.nan, z)
+    med = jnp.where(bad[0], jnp.nan, sorted_quantile(xs, 0.5))
+    return z.reshape(d, c, p), med
 
 
 def sorted_quantile(xs, p):

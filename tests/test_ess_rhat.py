@@ -259,3 +259,19 @@ class TestParamChunking:
         a = np.asarray(mdt.ess(x, kind="std", param_chunk=2))
         b = np.asarray(mdt.ess(x, kind="std"))
         np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+class TestJitEagerParity:
+    def test_disable_jit_same_results(self, rng):
+        # the "race detection" analogue of SURVEY.md section 5: compiled and
+        # eager execution must agree
+        import jax
+
+        x = rng.standard_normal((200, 4, 2))
+        with_jit = mdt.ess_rhat(x, kind="rank")
+        with jax.disable_jit():
+            without = mdt.ess_rhat(x, kind="rank")
+        np.testing.assert_allclose(np.asarray(with_jit.ess),
+                                   np.asarray(without.ess), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(with_jit.rhat),
+                                   np.asarray(without.rhat), rtol=1e-10)
