@@ -34,6 +34,7 @@ from .diagnostics.ess_rhat import (
     AutocovMethod,
     BDAAutocovMethod,
     FFTAutocovMethod,
+    PallasAutocovMethod,
     Quantile,
     ess,
     ess_rhat,
@@ -60,6 +61,7 @@ __all__ = [
     "AutocovMethod",
     "FFTAutocovMethod",
     "BDAAutocovMethod",
+    "PallasAutocovMethod",
     "Quantile",
     "gelmandiag",
     "gelmandiag_multivariate",

@@ -81,6 +81,19 @@ class BDAAutocovMethod:
 
 
 @dataclass(frozen=True)
+class PallasAutocovMethod:
+    """Direct Geyer estimator via the Pallas VMEM-resident lag kernel — the
+    single-chip TPU fast path (ops/pallas/autocov_kernel.py). Numerically the
+    AutocovMethod estimator. ``interpret=True`` runs on CPU for testing."""
+
+    interpret: bool = False
+
+    @property
+    def name(self) -> str:
+        return "pallas_interpret" if self.interpret else "pallas"
+
+
+@dataclass(frozen=True)
 class Quantile:
     """Estimator marker for quantile-ESS / quantile-MCSE, the analogue of the
     reference's ``Base.Fix2(Statistics.quantile, p)``."""
@@ -98,7 +111,10 @@ _RHAT_KINDS = ("rank", "bulk", "tail", "basic")
 
 
 def _method_name(autocov_method):
-    if isinstance(autocov_method, (AutocovMethod, FFTAutocovMethod, BDAAutocovMethod)):
+    if isinstance(
+        autocov_method,
+        (AutocovMethod, FFTAutocovMethod, BDAAutocovMethod, PallasAutocovMethod),
+    ):
         return autocov_method.name
     if isinstance(autocov_method, str) or callable(autocov_method):
         return autocov_method
