@@ -92,6 +92,15 @@ def rstar(
 
 def _as_rows(samples, chain_indices):
     """Normalize input forms to (rows, chain_ids)."""
+    # tabular inputs (pandas DataFrame / anything exposing to_numpy, or a
+    # dict of column vectors) — the reference's Tables.jl seam
+    # (src/rstar.jl:109-110)
+    if hasattr(samples, "to_numpy"):
+        samples = samples.to_numpy()
+    elif isinstance(samples, dict):
+        samples = np.column_stack([np.asarray(v) for v in samples.values()])
+        if chain_indices is None:
+            raise ValueError("tabular samples require explicit chain_indices")
     x = np.asarray(samples, dtype=np.float64)
     if chain_indices is not None:
         if x.ndim == 1:

