@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: VMEM-staged bitonic sort along axis 0 with payload.
+
+XLA lowers ``lax.sort`` to a flat bitonic network: ~log^2(N)/2 compare-
+exchange passes, each a full HBM round trip (measured HBM-bound: ~196 ms for
+(1.28M, 64) f32+i32 unstable). This kernel runs the same network but stages
+every stride < TILE inside VMEM:
+
+- Phase A (1 HBM pass): each (TILE, 128) block is sorted in VMEM through all
+  bitonic stages k <= TILE. For k < TILE the direction bit
+  ``(row & k) == 0`` depends only on local row bits; for k == TILE it is the
+  tile-index parity (passed via the grid).
+- Phase B, for each outer stage m = 2, 4, ..., ntiles (in tile units):
+  - ``log2(m)`` cross-tile passes (stride >= TILE): every output tile is the
+    elementwise min- or max-half of (tile, tile XOR stride); the direction
+    ``(tile & m) == 0`` and lo/hi role ``(tile & stride) == 0`` are tile
+    constants.
+  - ONE fused VMEM pass covering all strides TILE/2 .. 1 of stage m, with the
+    direction bit ``(tile & m) != 0`` constant per tile.
+
+HBM pass count: 1 + sum_j (j + 1) for j = 1..log2(ntiles) — e.g. 2^21 rows,
+TILE 2^12: 55 passes vs ~230 (cross passes read 2x, so traffic is ~3x lower
+overall). Rows pad to a power of two with +inf keys.
+
+Used as the fast path for the rank transform's two payload sorts (ties are
+averaged downstream, so the network's instability is harmless).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_TILE = 4096
+
+
+def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
+    """In-VMEM compare-exchange at ``stride`` < TILE within ``stage``.
+
+    ``dir_bit``: traced scalar, the (row & stage) bit shared by the whole tile
+    when stage >= TILE (0 => ascending); ignored for stage < TILE where the
+    bit comes from local row indices.
+    """
+    t = keys.shape[0]
+    g = t // (2 * stride)
+    k2 = keys.reshape(g, 2, stride, _LANES)
+    p2 = payload.reshape(g, 2, stride, _LANES)
+    a_k, b_k = k2[:, 0], k2[:, 1]
+    a_p, b_p = p2[:, 0], p2[:, 1]
+    if stage >= t:
+        asc = (dir_bit == 0)[None, None, None]
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0) * (2 * stride)
+        asc = (rows & stage) == 0
+    swap = jnp.where(asc, a_k > b_k, a_k < b_k)
+    lo_k = jnp.where(swap, b_k, a_k)
+    hi_k = jnp.where(swap, a_k, b_k)
+    lo_p = jnp.where(swap, b_p, a_p)
+    hi_p = jnp.where(swap, a_p, b_p)
+    keys = jnp.stack([lo_k, hi_k], axis=1).reshape(t, _LANES)
+    payload = jnp.stack([lo_p, hi_p], axis=1).reshape(t, _LANES)
+    return keys, payload
+
+
+def _phase_a_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, max_stage: int):
+    """Local bitonic sort: stages 2..max_stage (max_stage <= tile)."""
+    tile_idx = pl.program_id(0)
+    keys = k_ref[:]
+    payload = p_ref[:]
+    stage = 2
+    while stage <= max_stage:
+        dir_bit = (tile_idx & 1) if stage == tile else jnp.int32(0)
+        stride = stage // 2
+        while stride >= 1:
+            keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit)
+            stride //= 2
+        stage *= 2
+    ko_ref[:] = keys
+    po_ref[:] = payload
+
+
+def _cross_kernel(ka_ref, pa_ref, kb_ref, pb_ref, ko_ref, po_ref, *,
+                  stride_tiles: int, stage_tiles: int):
+    """Cross-tile pass: output tile = min/max half of (self, partner).
+
+    a = this grid point's tile, b = its partner (tile XOR stride_tiles).
+    lo role iff (tile & stride_tiles) == 0; ascending iff (tile & m) == 0.
+    """
+    t = pl.program_id(0)
+    a_k, b_k = ka_ref[:], kb_ref[:]
+    a_p, b_p = pa_ref[:], pb_ref[:]
+    is_lo = (t & stride_tiles) == 0
+    asc = (t & stage_tiles) == 0
+    # lo-of-pair / hi-of-pair values in canonical (lo, hi) orientation.
+    # Both grid points of a pair compute the same swap mask from (lo, hi).
+    lo_k = jnp.where(is_lo, a_k, b_k)
+    hi_k = jnp.where(is_lo, b_k, a_k)
+    lo_p = jnp.where(is_lo, a_p, b_p)
+    hi_p = jnp.where(is_lo, b_p, a_p)
+    swap = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
+    new_lo_k = jnp.where(swap, hi_k, lo_k)
+    new_hi_k = jnp.where(swap, lo_k, hi_k)
+    new_lo_p = jnp.where(swap, hi_p, lo_p)
+    new_hi_p = jnp.where(swap, lo_p, hi_p)
+    ko_ref[:] = jnp.where(is_lo, new_lo_k, new_hi_k)
+    po_ref[:] = jnp.where(is_lo, new_lo_p, new_hi_p)
+
+
+def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int):
+    """All strides TILE/2..1 of outer stage m (tile units) in one VMEM pass."""
+    tile_idx = pl.program_id(0)
+    dir_bit = (tile_idx & stage_tiles) != 0  # 1 => descending
+    keys = k_ref[:]
+    payload = p_ref[:]
+    stage = stage_tiles * tile  # >= tile: per-tile constant direction
+    stride = tile // 2
+    while stride >= 1:
+        keys, payload = _cmpx_local(
+            keys, payload, stride, stage, dir_bit.astype(jnp.int32)
+        )
+        stride //= 2
+    ko_ref[:] = keys
+    po_ref[:] = payload
+
+
+def _tile_spec(tile):
+    return pl.BlockSpec((tile, _LANES), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+
+
+def _partner_spec(tile, stride_tiles):
+    return pl.BlockSpec((tile, _LANES), lambda i, j: (i ^ stride_tiles, j),
+                        memory_space=pltpu.VMEM)
+
+
+def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
+    """Sort ``keys`` (N, P) ascending along axis 0, carrying ``payload``.
+
+    Unstable (bitonic network). N pads to a power of two with +inf keys; P
+    pads to a lane multiple. Returns (keys_sorted, payload_sorted) of the
+    original shape.
+    """
+    n, p = keys.shape
+    npow = 1 << max(1, (n - 1).bit_length())
+    tile = min(tile, npow)
+    lane_pad = (-p) % _LANES
+    kx = jnp.pad(keys, ((0, npow - n), (0, lane_pad)),
+                 constant_values=jnp.inf)
+    px = jnp.pad(payload, ((0, npow - n), (0, lane_pad)))
+    ptot = p + lane_pad
+    ntiles = npow // tile
+    grid = (ntiles, ptot // _LANES)
+
+    def call(kernel, operands, **kw):
+        nspec = len(operands) // 2
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[s for s, _ in operands],
+            out_specs=(_tile_spec(tile), _tile_spec(tile)),
+            out_shape=(
+                jax.ShapeDtypeStruct((npow, ptot), kx.dtype),
+                jax.ShapeDtypeStruct((npow, ptot), px.dtype),
+            ),
+            interpret=interpret,
+            **kw,
+        )(*[a for _, a in operands])
+
+    # Phase A: local sorts (stage k == tile uses tile parity when multi-tile)
+    kx, px = call(
+        functools.partial(_phase_a_kernel, tile=tile, max_stage=tile),
+        [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
+    )
+
+    # Phase B
+    m = 2
+    while m <= ntiles:
+        s = m // 2
+        while s >= 1:
+            kx, px = call(
+                functools.partial(_cross_kernel, stride_tiles=s, stage_tiles=m),
+                [
+                    (_tile_spec(tile), kx),
+                    (_tile_spec(tile), px),
+                    (_partner_spec(tile, s), kx),
+                    (_partner_spec(tile, s), px),
+                ],
+            )
+            s //= 2
+        kx, px = call(
+            functools.partial(_tail_kernel, tile=tile, stage_tiles=m),
+            [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
+        )
+        m *= 2
+
+    return kx[:n, :p], px[:n, :p]
