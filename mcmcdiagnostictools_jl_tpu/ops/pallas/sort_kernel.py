@@ -42,28 +42,38 @@ _TILE = 4096
 def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
     """In-VMEM compare-exchange at ``stride`` < TILE within ``stage``.
 
+    Pure 2-D formulation (Mosaic rejects the singleton-dim reshape form):
+    each row's partner is ``row XOR stride``, reached with two sublane rolls;
+    every select is on (TILE, LANES) vectors.
+
     ``dir_bit``: traced scalar, the (row & stage) bit shared by the whole tile
     when stage >= TILE (0 => ascending); ignored for stage < TILE where the
     bit comes from local row indices.
     """
     t = keys.shape[0]
-    g = t // (2 * stride)
-    k2 = keys.reshape(g, 2, stride, _LANES)
-    p2 = payload.reshape(g, 2, stride, _LANES)
-    a_k, b_k = k2[:, 0], k2[:, 1]
-    a_p, b_p = p2[:, 0], p2[:, 1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, _LANES), 0)
+    is_lo = (rows & stride) == 0
+    fwd_k = jnp.roll(keys, -stride, 0)
+    bwd_k = jnp.roll(keys, stride, 0)
+    fwd_p = jnp.roll(payload, -stride, 0)
+    bwd_p = jnp.roll(payload, stride, 0)
+    partner_k = jnp.where(is_lo, fwd_k, bwd_k)
+    partner_p = jnp.where(is_lo, fwd_p, bwd_p)
+    lo_k = jnp.where(is_lo, keys, partner_k)
+    hi_k = jnp.where(is_lo, partner_k, keys)
+    lo_p = jnp.where(is_lo, payload, partner_p)
+    hi_p = jnp.where(is_lo, partner_p, payload)
     if stage >= t:
-        asc = (dir_bit == 0)[None, None, None]
+        asc = jnp.broadcast_to(dir_bit == 0, (t, _LANES))
     else:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0) * (2 * stride)
         asc = (rows & stage) == 0
-    swap = jnp.where(asc, a_k > b_k, a_k < b_k)
-    lo_k = jnp.where(swap, b_k, a_k)
-    hi_k = jnp.where(swap, a_k, b_k)
-    lo_p = jnp.where(swap, b_p, a_p)
-    hi_p = jnp.where(swap, a_p, b_p)
-    keys = jnp.stack([lo_k, hi_k], axis=1).reshape(t, _LANES)
-    payload = jnp.stack([lo_p, hi_p], axis=1).reshape(t, _LANES)
+    swap = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
+    new_lo_k = jnp.where(swap, hi_k, lo_k)
+    new_hi_k = jnp.where(swap, lo_k, hi_k)
+    new_lo_p = jnp.where(swap, hi_p, lo_p)
+    new_hi_p = jnp.where(swap, lo_p, hi_p)
+    keys = jnp.where(is_lo, new_lo_k, new_hi_k)
+    payload = jnp.where(is_lo, new_lo_p, new_hi_p)
     return keys, payload
 
 
