@@ -49,6 +49,7 @@ from ..ops.ranknorm import (
 )
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
+from .. import _config
 
 
 class ESSRhat(NamedTuple):
@@ -187,12 +188,14 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
 @partial(
     jax.jit,
     static_argnames=(
-        "kind", "split_chains", "maxlag", "method", "relative", "q", "param_chunk",
+        "kind", "split_chains", "maxlag", "method", "relative", "q",
+        "param_chunk", "staged_sort",
     ),
 )
 def _ess_rhat_pipeline(
     x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
     q: float | None = None, param_chunk: int | None = None,
+    staged_sort: bool = False,
 ):
     """Full ess/rhat pipeline for one symbolic or estimator kind.
 
@@ -215,7 +218,7 @@ def _ess_rhat_pipeline(
         def one_chunk(xc):
             return _ess_rhat_pipeline(
                 xc, kind=kind, split_chains=split_chains, maxlag=maxlag,
-                method=method, relative=relative, q=q,
+                method=method, relative=relative, q=q, staged_sort=staged_sort,
             )
 
         ess_c, rhat_c = jax.lax.map(one_chunk, chunks)
@@ -224,7 +227,8 @@ def _ess_rhat_pipeline(
         return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
     if kind == "bulk":
         return _basic_ess_rhat(
-            rank_normalize(x3), split_chains, maxlag, method, relative
+            rank_normalize(x3, staged=staged_sort), split_chains, maxlag,
+            method, relative,
         )
     if kind in ("mean", "median", "std", "mad", "quantile"):
         proxy = _expectand_proxy(kind, x3, q)
@@ -240,31 +244,40 @@ def _ess_rhat_pipeline(
             method=method, relative=relative, q=1 - tail_prob / 2,
         )
         ess = jnp.minimum(ess_lo, ess_hi)
-        rhat = _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        rhat = _basic_rhat(
+            rank_normalize(fold_around_median(x3), staged=staged_sort),
+            split_chains,
+        )
         return ess, rhat
     if kind == "rank":
-        z, med = rank_normalize_with_median(x3)  # one sort serves both
+        z, med = rank_normalize_with_median(x3, staged=staged_sort)
         ess_bulk, rhat_bulk = _basic_ess_rhat(z, split_chains, maxlag, method,
                                               relative)
         folded = jnp.abs(x3 - med[None, None, :])
-        rhat_tail = _basic_rhat(rank_normalize(folded), split_chains)
+        rhat_tail = _basic_rhat(
+            rank_normalize(folded, staged=staged_sort), split_chains
+        )
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
 
-@partial(jax.jit, static_argnames=("kind", "split_chains"))
-def _rhat_pipeline(x3, *, kind: str, split_chains: int):
+@partial(jax.jit, static_argnames=("kind", "split_chains", "staged_sort"))
+def _rhat_pipeline(x3, *, kind: str, split_chains: int, staged_sort: bool = False):
     if kind == "basic":
         return _basic_rhat(x3, split_chains)
     if kind == "bulk":
-        return _basic_rhat(rank_normalize(x3), split_chains)
+        return _basic_rhat(rank_normalize(x3, staged=staged_sort), split_chains)
     if kind == "tail":
-        return _basic_rhat(rank_normalize(fold_around_median(x3)), split_chains)
+        return _basic_rhat(
+            rank_normalize(fold_around_median(x3), staged=staged_sort),
+            split_chains,
+        )
     if kind == "rank":
-        z, med = rank_normalize_with_median(x3)  # one sort serves both
+        z, med = rank_normalize_with_median(x3, staged=staged_sort)
         bulk = _basic_rhat(z, split_chains)
         folded = jnp.abs(x3 - med[None, None, :])
-        tail = _basic_rhat(rank_normalize(folded), split_chains)
+        tail = _basic_rhat(rank_normalize(folded, staged=staged_sort),
+                           split_chains)
         return jnp.maximum(tail, bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
@@ -317,6 +330,7 @@ def ess(
     maxlag: int = 250,
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
+    staged_sort: bool | None = None,
 ):
     """Effective sample size of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
@@ -347,11 +361,14 @@ def ess(
         relative=relative,
         q=q,
         param_chunk=param_chunk,
+        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
+        else staged_sort,
     )
     return maybe_scalar(ess_vals, pshape)
 
 
-def rhat(samples, *, kind: str = "rank", split_chains: int = 2):
+def rhat(samples, *, kind: str = "rank", split_chains: int = 2,
+         staged_sort: bool | None = None):
     """R-hat of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
     Mirrors the reference ``rhat`` (src/ess_rhat.jl:313-420). ``kind`` is one
@@ -360,7 +377,11 @@ def rhat(samples, *, kind: str = "rank", split_chains: int = 2):
     if kind not in _RHAT_KINDS:
         raise ValueError(f"the `kind` `{kind}` is not supported by `rhat`")
     x3, pshape = canonicalize(samples)
-    vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
+    vals = _rhat_pipeline(
+        x3, kind=kind, split_chains=split_chains,
+        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
+        else staged_sort,
+    )
     return maybe_scalar(vals, pshape)
 
 
@@ -374,6 +395,7 @@ def ess_rhat(
     maxlag: int = 250,
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
+    staged_sort: bool | None = None,
 ):
     """Joint ESS and R-hat (more efficient than separate calls).
 
@@ -389,7 +411,11 @@ def ess_rhat(
     if niter <= 4:
         _warn_short(niter)
         ess_vals = jnp.full(x3.shape[2], jnp.nan, x3.dtype)
-        rhat_vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
+        rhat_vals = _rhat_pipeline(
+            x3, kind=kind, split_chains=split_chains,
+            staged_sort=_config.pallas_sort_enabled() if staged_sort is None
+            else staged_sort,
+        )
         return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
     eff_maxlag = min(maxlag, niter - 4)
     q = tail_prob if kind == "tail" else None
@@ -402,6 +428,8 @@ def ess_rhat(
         relative=relative,
         q=q,
         param_chunk=param_chunk,
+        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
+        else staged_sort,
     )
     return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
 

@@ -36,7 +36,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_TILE = 4096
+_TILE = 2048
+
+
+def _flag_mask(flag_i32, shape):
+    """Vector bool mask from a traced scalar int flag.
+
+    Mosaic cannot broadcast a scalar bool into a vector (i8 -> i1 trunc); a
+    full() of the int flag followed by a vector compare lowers cleanly.
+    """
+    return jnp.full(shape, flag_i32, dtype=jnp.int32) == 1
 
 
 def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
@@ -64,10 +73,12 @@ def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
     lo_p = jnp.where(is_lo, payload, partner_p)
     hi_p = jnp.where(is_lo, partner_p, payload)
     if stage >= t:
-        asc = jnp.broadcast_to(dir_bit == 0, (t, _LANES))
+        desc = _flag_mask(dir_bit, (t, _LANES))
     else:
-        asc = (rows & stage) == 0
-    swap = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
+        desc = (rows & stage) != 0
+    # ties may swap under the descending XOR form — harmless: keys equal and
+    # the payload permutation stays valid
+    swap = (lo_k > hi_k) != desc
     new_lo_k = jnp.where(swap, hi_k, lo_k)
     new_hi_k = jnp.where(swap, lo_k, hi_k)
     new_lo_p = jnp.where(swap, hi_p, lo_p)
@@ -104,15 +115,16 @@ def _cross_kernel(ka_ref, pa_ref, kb_ref, pb_ref, ko_ref, po_ref, *,
     t = pl.program_id(0)
     a_k, b_k = ka_ref[:], kb_ref[:]
     a_p, b_p = pa_ref[:], pb_ref[:]
-    is_lo = (t & stride_tiles) == 0
-    asc = (t & stage_tiles) == 0
+    shape = a_k.shape
+    is_lo = _flag_mask(jnp.int32((t & stride_tiles) == 0), shape)
+    desc = _flag_mask(jnp.int32((t & stage_tiles) != 0), shape)
     # lo-of-pair / hi-of-pair values in canonical (lo, hi) orientation.
     # Both grid points of a pair compute the same swap mask from (lo, hi).
     lo_k = jnp.where(is_lo, a_k, b_k)
     hi_k = jnp.where(is_lo, b_k, a_k)
     lo_p = jnp.where(is_lo, a_p, b_p)
     hi_p = jnp.where(is_lo, b_p, a_p)
-    swap = jnp.where(asc, lo_k > hi_k, lo_k < hi_k)
+    swap = (lo_k > hi_k) != desc  # tie swaps harmless (equal keys)
     new_lo_k = jnp.where(swap, hi_k, lo_k)
     new_hi_k = jnp.where(swap, lo_k, hi_k)
     new_lo_p = jnp.where(swap, hi_p, lo_p)
@@ -124,15 +136,13 @@ def _cross_kernel(ka_ref, pa_ref, kb_ref, pb_ref, ko_ref, po_ref, *,
 def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int):
     """All strides TILE/2..1 of outer stage m (tile units) in one VMEM pass."""
     tile_idx = pl.program_id(0)
-    dir_bit = (tile_idx & stage_tiles) != 0  # 1 => descending
+    dir_bit = jnp.int32((tile_idx & stage_tiles) != 0)  # 1 => descending
     keys = k_ref[:]
     payload = p_ref[:]
     stage = stage_tiles * tile  # >= tile: per-tile constant direction
     stride = tile // 2
     while stride >= 1:
-        keys, payload = _cmpx_local(
-            keys, payload, stride, stage, dir_bit.astype(jnp.int32)
-        )
+        keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit)
         stride //= 2
     ko_ref[:] = keys
     po_ref[:] = payload
@@ -159,8 +169,11 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
     npow = 1 << max(1, (n - 1).bit_length())
     tile = min(tile, npow)
     lane_pad = (-p) % _LANES
-    kx = jnp.pad(keys, ((0, npow - n), (0, lane_pad)),
-                 constant_values=jnp.inf)
+    if jnp.issubdtype(keys.dtype, jnp.floating):
+        pad_val = jnp.inf
+    else:
+        pad_val = jnp.iinfo(keys.dtype).max
+    kx = jnp.pad(keys, ((0, npow - n), (0, lane_pad)), constant_values=pad_val)
     px = jnp.pad(payload, ((0, npow - n), (0, lane_pad)))
     ptot = p + lane_pad
     ntiles = npow // tile
@@ -178,6 +191,9 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
                 jax.ShapeDtypeStruct((npow, ptot), px.dtype),
             ),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
             **kw,
         )(*[a for _, a in operands])
 

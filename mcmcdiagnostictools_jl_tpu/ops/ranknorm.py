@@ -23,6 +23,20 @@ import jax.numpy as jnp
 from jax.scipy.special import ndtri
 
 
+def _sort_pair(keys, payload, staged: bool):
+    """Ascending sort along axis 0 carrying a payload.
+
+    ``staged=True`` uses the Pallas VMEM-staged bitonic kernel (TPU fast
+    path); otherwise XLA's lax.sort. Both are unstable — safe here because
+    tied ranks are averaged and inverse-permutation keys are unique.
+    """
+    if staged:
+        from .pallas.sort_kernel import staged_sort
+
+        return staged_sort(keys, payload)
+    return jax.lax.sort((keys, payload), dimension=0, num_keys=1, is_stable=False)
+
+
 def _flatten_sample(x3):
     """(draws, chains, P) -> (draws*chains, P)."""
     d, c, p = x3.shape
@@ -34,27 +48,23 @@ def _has_nan_cols(xf):
     return jnp.any(jnp.isnan(xf), axis=0)
 
 
-def tiedrank(xf):
+def tiedrank(xf, *, staged: bool = False):
     """Tied ("average") 1-based ranks along axis 0 of ``xf`` with shape (N, P).
 
     Equal values receive the average of the ranks they would occupy. Matches
     StatsBase.tiedrank used by the reference (src/utils.jl:180).
 
-    TPU formulation: two multi-operand ``lax.sort`` calls with the permutation
-    carried as a payload through the sorting network — gather/scatter free
-    (per-element gathers are slow on TPU), fully batched over P.
+    TPU formulation: two payload-carrying sorts — the permutation rides the
+    sorting network both ways, gather/scatter free (per-element gathers are
+    slow on TPU), fully batched over P. Unstable sorts are safe: tied ranks
+    are averaged and the inverse-sort keys are a permutation (unique).
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-    # one sort produces both sorted values and the permutation; the inverse
-    # permutation is a second sort carrying the ranks as payload (no scatter).
-    # Unstable sorts are ~15% cheaper on TPU and safe: tied ranks are averaged
-    # (order inside a tie group is irrelevant) and the inverse-sort keys are a
-    # permutation (unique).
-    xs, order = jax.lax.sort((xf, iota), dimension=0, num_keys=1, is_stable=False)
-    return _tiedrank_sorted(xs, order)
+    xs, order = _sort_pair(xf, iota, staged)
+    return _tiedrank_sorted(xs, order, staged)
 
 
-def _tiedrank_sorted(xs, order):
+def _tiedrank_sorted(xs, order, staged: bool = False):
     """Ranks in original positions from a presorted (values, permutation) pair."""
     n = xs.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
@@ -68,23 +78,21 @@ def _tiedrank_sorted(xs, order):
     start = jax.lax.cummax(jnp.where(first_of_group, idx, 0), axis=0)
     end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
     avg_rank_sorted = (start + end).astype(xs.dtype) * 0.5 + 1.0
-    _, ranks = jax.lax.sort(
-        (order, avg_rank_sorted), dimension=0, num_keys=1, is_stable=False
-    )
+    _, ranks = _sort_pair(order, avg_rank_sorted, staged)
     return ranks
 
 
-def rank_normalize(x3):
+def rank_normalize(x3, *, staged: bool = False):
     """Rank-normalize each parameter slice over its joint (draw, chain) sample.
 
     tiedrank -> Blom quantiles ``(r - 3/8) / (n + 1/4)`` -> inverse normal CDF.
     Reference: ``_rank_normalize`` src/utils.jl:169-193. NaN in a slice yields
     an all-NaN slice (mirrors the all-missing rule, src/utils.jl:176-179).
     """
-    return rank_normalize_with_median(x3)[0]
+    return rank_normalize_with_median(x3, staged=staged)[0]
 
 
-def rank_normalize_with_median(x3):
+def rank_normalize_with_median(x3, *, staged: bool = False):
     """Rank-normalize and return the per-parameter median from the same sort.
 
     The rank/tail kinds need both the rank transform of ``x`` and its median
@@ -96,10 +104,8 @@ def rank_normalize_with_median(x3):
     n = xf.shape[0]
     with jax.named_scope("mdt.rank_sort"):
         iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-        xs, order = jax.lax.sort(
-            (xf, iota), dimension=0, num_keys=1, is_stable=False
-        )
-        r = _tiedrank_sorted(xs, order)
+        xs, order = _sort_pair(xf, iota, staged)
+        r = _tiedrank_sorted(xs, order, staged)
     q = (r - 0.375) / (n + 0.25)
     z = ndtri(q)
     bad = _has_nan_cols(xf)[None, :]
