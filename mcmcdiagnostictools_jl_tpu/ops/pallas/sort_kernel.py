@@ -48,7 +48,8 @@ def _flag_mask(flag_i32, shape):
     return jnp.full(shape, flag_i32, dtype=jnp.int32) == 1
 
 
-def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
+def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit,
+                hw_roll: bool = True):
     """In-VMEM compare-exchange at ``stride`` < TILE within ``stage``.
 
     Pure 2-D formulation (Mosaic rejects the singleton-dim reshape form):
@@ -62,10 +63,15 @@ def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
     t = keys.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, _LANES), 0)
     is_lo = (rows & stride) == 0
-    fwd_k = jnp.roll(keys, -stride, 0)
-    bwd_k = jnp.roll(keys, stride, 0)
-    fwd_p = jnp.roll(payload, -stride, 0)
-    bwd_p = jnp.roll(payload, stride, 0)
+    # partner = row XOR stride, reached by circular shifts: out[i] = in[i+s]
+    # is roll by t-s, out[i] = in[i-s] is roll by s. The TPU rotate
+    # (pltpu.roll) is a register shuffle; jnp.roll (slices+concat) is kept
+    # for interpreter mode.
+    roll = pltpu.roll if hw_roll else jnp.roll
+    fwd_k = roll(keys, t - stride, 0)
+    bwd_k = roll(keys, stride, 0)
+    fwd_p = roll(payload, t - stride, 0)
+    bwd_p = roll(payload, stride, 0)
     partner_k = jnp.where(is_lo, fwd_k, bwd_k)
     partner_p = jnp.where(is_lo, fwd_p, bwd_p)
     lo_k = jnp.where(is_lo, keys, partner_k)
@@ -88,7 +94,8 @@ def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit):
     return keys, payload
 
 
-def _phase_a_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, max_stage: int):
+def _phase_a_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, max_stage: int,
+                    hw_roll: bool = True):
     """Local bitonic sort: stages 2..max_stage (max_stage <= tile)."""
     tile_idx = pl.program_id(0)
     keys = k_ref[:]
@@ -98,7 +105,8 @@ def _phase_a_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, max_stage: int):
         dir_bit = (tile_idx & 1) if stage == tile else jnp.int32(0)
         stride = stage // 2
         while stride >= 1:
-            keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit)
+            keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit,
+                                        hw_roll)
             stride //= 2
         stage *= 2
     ko_ref[:] = keys
@@ -133,7 +141,8 @@ def _cross_kernel(ka_ref, pa_ref, kb_ref, pb_ref, ko_ref, po_ref, *,
     po_ref[:] = jnp.where(is_lo, new_lo_p, new_hi_p)
 
 
-def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int):
+def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int,
+                 hw_roll: bool = True):
     """All strides TILE/2..1 of outer stage m (tile units) in one VMEM pass."""
     tile_idx = pl.program_id(0)
     dir_bit = jnp.int32((tile_idx & stage_tiles) != 0)  # 1 => descending
@@ -142,7 +151,8 @@ def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int):
     stage = stage_tiles * tile  # >= tile: per-tile constant direction
     stride = tile // 2
     while stride >= 1:
-        keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit)
+        keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit,
+                                    hw_roll)
         stride //= 2
     ko_ref[:] = keys
     po_ref[:] = payload
@@ -199,7 +209,8 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
 
     # Phase A: local sorts (stage k == tile uses tile parity when multi-tile)
     kx, px = call(
-        functools.partial(_phase_a_kernel, tile=tile, max_stage=tile),
+        functools.partial(_phase_a_kernel, tile=tile, max_stage=tile,
+                          hw_roll=not interpret),
         [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
     )
 
@@ -219,7 +230,8 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
             )
             s //= 2
         kx, px = call(
-            functools.partial(_tail_kernel, tile=tile, stage_tiles=m),
+            functools.partial(_tail_kernel, tile=tile, stage_tiles=m,
+                              hw_roll=not interpret),
             [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
         )
         m *= 2
