@@ -207,3 +207,111 @@ def ess_rhat_sharded(
     )
     ess, rhat = jax.jit(fn)(x3)
     return ESSRhat(maybe_scalar(ess, pshape), maybe_scalar(rhat, pshape))
+
+
+def rhat_nested_sharded(
+    samples,
+    superchain_ids,
+    cfg: MeshConfig,
+    *,
+    kind: str = "rank",
+    split_chains: int = 2,
+):
+    """Nested R-hat over a chain/param-sharded mesh (BASELINE config 5).
+
+    Chains are pre-permuted host-side so superchains are contiguous and each
+    chain shard holds whole superchains; the within-superchain level then
+    reduces locally and the across-superchain level is one psum
+    (SURVEY.md section 5(d): segment-psum keyed by superchain id).
+    ``superchains_per_shard = nsuper / chain_shards`` must divide evenly.
+    """
+    import numpy as np
+
+    from ..diagnostics.rhat_nested import _validate_superchain_ids
+    from ..ops.ranknorm import fold_around_median, rank_normalize
+
+    x3, pshape = canonicalize(samples)
+    perm, nsuper = _validate_superchain_ids(superchain_ids, x3.shape[1])
+    kshards = cfg.mesh.shape[cfg.chain_axis]
+    if nsuper % kshards != 0:
+        raise ValueError(
+            f"number of superchains ({nsuper}) must divide evenly across the "
+            f"chain shards ({kshards})"
+        )
+    x3 = jnp.asarray(x3)[:, np.asarray(perm), :]  # superchains contiguous
+    x3 = shard_canonical(x3, cfg)
+    nsuper_local = nsuper // kshards
+
+    def kernel(xb):
+        if kind == "bulk":
+            xb = _global_transform(xb, rank_normalize, cfg.chain_axis)
+            return _nested_basic_local(xb, nsuper_local, split_chains,
+                                       cfg.chain_axis)
+        if kind == "tail":
+            xb = _global_transform(
+                xb, lambda f: rank_normalize(fold_around_median(f)),
+                cfg.chain_axis,
+            )
+            return _nested_basic_local(xb, nsuper_local, split_chains,
+                                       cfg.chain_axis)
+        if kind == "rank":
+            zb = _global_transform(xb, rank_normalize, cfg.chain_axis)
+            bulk = _nested_basic_local(zb, nsuper_local, split_chains,
+                                       cfg.chain_axis)
+            zt = _global_transform(
+                xb, lambda f: rank_normalize(fold_around_median(f)),
+                cfg.chain_axis,
+            )
+            tail = _nested_basic_local(zt, nsuper_local, split_chains,
+                                       cfg.chain_axis)
+            return jnp.maximum(bulk, tail)
+        return _nested_basic_local(xb, nsuper_local, split_chains,
+                                   cfg.chain_axis)
+
+    fn = shard_map(
+        kernel,
+        mesh=cfg.mesh,
+        in_specs=(cfg.data_spec,),
+        out_specs=cfg.param_spec,
+    )
+    vals = jax.jit(fn)(x3)
+    from ..utils.layout import maybe_scalar as _ms
+
+    return _ms(vals, pshape)
+
+
+def _nested_basic_local(xb, nsuper_local: int, split_chains: int,
+                        chain_axis: str):
+    """Two-level B/W reduction: local superchains, psum across shards."""
+    samples = split_chains_reshape(xb, split_chains)  # (niter, c_loc, P)
+    niter, c_loc, nparams = samples.shape
+    m = c_loc // nsuper_local  # (split) chains per superchain
+    s = samples.reshape(niter, nsuper_local, m, nparams)
+    kshards = jax.lax.psum(1, chain_axis)
+    nsuper = nsuper_local * kshards
+
+    chain_mean = jnp.mean(s, axis=0)  # (Sl, m, P)
+    centered = s - chain_mean[None]
+    chain_var = jnp.sum(centered * centered, axis=0) / (niter - 1)
+    wk = jnp.mean(chain_var, axis=1)  # (Sl, P)
+    superchain_mean = jnp.mean(chain_mean, axis=1)  # (Sl, P)
+    dm = chain_mean - superchain_mean[:, None]
+    bk = (
+        jnp.sum(dm * dm, axis=1) / (m - 1)
+        if m > 1
+        else jnp.zeros_like(wk)
+    )
+    var_within = jax.lax.psum(jnp.sum(wk + bk, axis=0), chain_axis) / nsuper
+    grand = jax.lax.psum(jnp.sum(superchain_mean, axis=0), chain_axis) / nsuper
+    ds_ = superchain_mean - grand[None]
+    var_between = jax.lax.psum(jnp.sum(ds_ * ds_, axis=0), chain_axis) / (
+        nsuper - 1
+    )
+    first = samples[0, 0]
+    loc_same = jnp.all(samples == first[None, None], axis=(0, 1))
+    glob_same = (
+        (jax.lax.pmin(jnp.where(loc_same, 1, 0), chain_axis) == 1)
+        & (jax.lax.pmax(first, chain_axis) == jax.lax.pmin(first, chain_axis))
+    )
+    var_between = jnp.where(glob_same, jnp.nan, var_between)
+    return jnp.sqrt(1.0 + var_between / var_within)

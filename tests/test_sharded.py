@@ -56,3 +56,24 @@ class TestShardedParity:
         want = mdt.ess_rhat(x, kind="basic", split_chains=3)
         np.testing.assert_allclose(np.asarray(got.ess), np.asarray(want.ess),
                                    rtol=1e-10)
+
+
+@needs8
+class TestNestedSharded:
+    @pytest.mark.parametrize("kind", ["basic", "bulk", "tail", "rank"])
+    def test_matches_single_device(self, rng, kind):
+        from mcmcdiagnostictools_jl_tpu.parallel import rhat_nested_sharded
+
+        x = rng.standard_normal((100, 16, 4))
+        ids = np.repeat(np.arange(8), 2)  # 8 superchains x 2 chains
+        got = rhat_nested_sharded(x, ids, _mesh(4, 2), kind=kind)
+        want = mdt.rhat_nested(x, ids, kind=kind)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
+
+    def test_uneven_superchains_rejected(self, rng):
+        from mcmcdiagnostictools_jl_tpu.parallel import rhat_nested_sharded
+
+        x = rng.standard_normal((100, 6, 2))
+        ids = np.repeat(np.arange(3), 2)  # 3 superchains over 2 shards
+        with pytest.raises(ValueError):
+            rhat_nested_sharded(x, ids, _mesh(2, 1))
