@@ -7,7 +7,7 @@ benchmark configuration exercises (BASELINE.md config 3):
 
 - ``gewekediag_batch`` — fully vectorized: the window means and MCSEs batch
   by folding (chain, param) into the parameter axis with a single-chain
-  layout, exactly reproducing the scalar ``gewekediag`` numbers.
+  layout, reproducing the scalar ``gewekediag`` numbers.
 - ``heideldiag_batch`` — the burn-in scan has a static candidate list
   (starts 1, 1+delta, ... < n/2), so every candidate's Cramer-von Mises
   statistic and MCSE is computed batched and the per-series "first converged
@@ -16,17 +16,32 @@ benchmark configuration exercises (BASELINE.md config 3):
   per series and cheap; it loops on the host.
 
 All outputs have shape ``(chains, *param_shape)``.
+
+Compilation economics (the reason for the masked kernel below): every window /
+burn-in candidate has a different draw count, and a fresh shape means a fresh
+XLA compile (15-60 s each through the TPU compile service — dwarfing the
+actual compute). ``_window_mcse_mean`` therefore computes the single-chain
+mean-MCSE of ANY (start, stop) window of a fixed-shape series stack with
+masking: zero-masked centering makes the zero-padded full-length FFT return
+exactly the window's lag sums, and the dynamic-length Geyer reduction
+(``geyer_ess_from_rho_dynamic``) reproduces the per-window ``maxlag``
+clamping. One compile serves every window of every call with the same
+(n, S, nwindows) signature.
 """
 
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.special import erfcinv
 
+from ..ops.autocov import next_fft_size
+from ..ops.geyer import geyer_ess_from_rho_dynamic
 from ..ops.special import pcramer
 from ..utils.layout import canonicalize
 from .mcse import mcse
@@ -61,6 +76,48 @@ def _mcse_series(flat, **kw):
     return np.asarray(mcse(flat, split_chains=1, **kw))
 
 
+@partial(jax.jit, static_argnames=("maxlag",))
+def _window_mcse_mean(flat, starts, stops, maxlag: int = 250):
+    """Mean-MCSE of arbitrary (start, stop) windows of a series stack.
+
+    ``flat``: (n, S); ``starts``/``stops``: (W,) int32 half-open 0-based window
+    bounds (each window must have length > 4). Returns ``(mcse, mean, ess)``
+    each of shape (W, S). Numerically the single-chain (split_chains=1)
+    FFT-method mean-MCSE of ``flat[start:stop]`` — masked centering zeroes
+    everything outside the window, so the full-length zero-padded FFT yields
+    the window's exact lag sums (src/ess_rhat.jl:103-118 semantics with the
+    window's own length in every normalization).
+    """
+    n, _ = flat.shape
+    dtype = flat.dtype
+    mfft = next_fft_size(2 * n - 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def one_window(start, stop):
+        mask = ((idx >= start) & (idx < stop)).astype(dtype)[:, None]
+        m = (stop - start).astype(dtype)
+        mean = jnp.sum(flat * mask, axis=0) / m
+        z = (flat - mean[None, :]) * mask
+        var = jnp.sum(z * z, axis=0) / (m - 1.0)
+        f = jnp.fft.rfft(z, n=mfft, axis=0)
+        c = jnp.fft.irfft(jnp.real(f) ** 2 + jnp.imag(f) ** 2, n=mfft, axis=0)[
+            : maxlag + 1
+        ]
+        c0 = c[0][None]
+        ratio = jnp.where(c0 > 0, c / jnp.where(c0 > 0, c0, 1.0), 0.0)
+        acov = ratio * (var * ((m - 1.0) / m))[None]
+        w = var  # single chain: W = chain_var, between-chain var = 0
+        var_plus = (m - 1.0) / m * w
+        rho = 1.0 - (w[None] - acov) / var_plus[None]
+        eff_maxlag = jnp.minimum(maxlag, (stop - start) - 4)
+        ess = geyer_ess_from_rho_dynamic(rho, m, eff_maxlag)
+        return jnp.sqrt(var) / jnp.sqrt(ess), mean, ess
+
+    return jax.vmap(one_window)(
+        jnp.asarray(starts, jnp.int32), jnp.asarray(stops, jnp.int32)
+    )
+
+
 def gewekediag_batch(samples, *, first: float = 0.1, last: float = 0.5,
                      **mcse_kwargs):
     """Batched Geweke diagnostic; see :func:`gewekediag` for semantics."""
@@ -72,12 +129,23 @@ def gewekediag_batch(samples, *, first: float = 0.1, last: float = 0.5,
         raise ValueError("`first` and `last` proportions overlap")
     x3, flat, out_shape = _series_matrix(samples)
     n = x3.shape[0]
-    w1 = flat[: round(first * n)]
-    w2 = flat[round(n - last * n + 1) - 1 :]
-    s1 = _mcse_series(w1, **mcse_kwargs)
-    s2 = _mcse_series(w2, **mcse_kwargs)
-    m1 = np.asarray(jnp.mean(w1[:, 0, :], axis=0))
-    m2 = np.asarray(jnp.mean(w2[:, 0, :], axis=0))
+    stop1 = round(first * n)
+    start2 = round(n - last * n + 1) - 1
+    if set(mcse_kwargs) <= {"maxlag"} and min(stop1, n - start2) > 4:
+        # one fixed-shape masked kernel for both windows (single compile)
+        s, m, _ = _window_mcse_mean(
+            flat[:, 0, :], np.array([0, start2]), np.array([stop1, n]),
+            maxlag=mcse_kwargs.get("maxlag", 250),
+        )
+        s1, s2 = np.asarray(s)
+        m1, m2 = np.asarray(m)
+    else:
+        w1 = flat[:stop1]
+        w2 = flat[start2:]
+        s1 = _mcse_series(w1, **mcse_kwargs)
+        s2 = _mcse_series(w2, **mcse_kwargs)
+        m1 = np.asarray(jnp.mean(w1[:, 0, :], axis=0))
+        m2 = np.asarray(jnp.mean(w2[:, 0, :], axis=0))
     z = (m1 - m2) / np.hypot(s1, s2)
     p = np.vectorize(math.erfc)(np.abs(z) / math.sqrt(2))
     return GewekeBatchResult(z.reshape(out_shape), p.reshape(out_shape))
@@ -90,9 +158,7 @@ def heideldiag_batch(samples, *, alpha: float = 0.05, eps: float = 0.1,
     n = x3.shape[0]
     nseries = flat.shape[2]
     delta = int(0.10 * n)
-    half = flat[int(n / 2) - 1 :]
-    s = _mcse_series(half, **mcse_kwargs)
-    s0 = half.shape[0] * s**2  # (S,)
+    half_start = int(n / 2) - 1  # 0-based start of the second-half window
 
     starts = []
     i = 1
@@ -102,19 +168,39 @@ def heideldiag_batch(samples, *, alpha: float = 0.05, eps: float = 0.1,
     i_exit = i  # first i >= n/2 (the loop-exit value, used for burnin when
     # no candidate converges, src/heideldiag.jl:25-39)
 
+    fast = set(mcse_kwargs) <= {"maxlag"} and n - half_start > 4
+    if fast:
+        # every suffix window in ONE masked fixed-shape call (single compile)
+        win_starts = np.array([half_start] + [i1 - 1 for i1 in starts])
+        win_stops = np.full(len(starts) + 1, n)
+        mcse_all, mean_all, _ = _window_mcse_mean(
+            flat[:, 0, :], win_starts, win_stops,
+            maxlag=mcse_kwargs.get("maxlag", 250),
+        )
+        mcse_all = np.asarray(mcse_all)
+        mean_all = np.asarray(mean_all)
+        s = mcse_all[0]
+        ybars = mean_all[1:]
+        halfw = math.sqrt(2.0) * float(erfcinv(alpha)) * mcse_all[1:]
+    else:
+        s = _mcse_series(flat[half_start:], **mcse_kwargs)
+    s0 = (n - half_start) * s**2  # (S,)
+
     pvals = np.empty((len(starts), nseries))
-    ybars = np.empty((len(starts), nseries))
-    halfw = np.empty((len(starts), nseries))
+    if not fast:
+        ybars = np.empty((len(starts), nseries))
+        halfw = np.empty((len(starts), nseries))
     for k, i1 in enumerate(starts):
         y = np.asarray(flat[i1 - 1 :, 0, :])  # (m, S)
         m = y.shape[0]
-        ybar = y.mean(axis=0)
+        ybar = ybars[k] if fast else y.mean(axis=0)
         b = np.cumsum(y, axis=0) - ybar[None, :] * np.arange(1, m + 1)[:, None]
         cvm = (b * b).sum(axis=0) / (m * s0) / m
         pvals[k] = 1.0 - np.asarray(pcramer(jnp.asarray(cvm)))
-        ybars[k] = ybar
-        sk = _mcse_series(flat[i1 - 1 :], **mcse_kwargs)
-        halfw[k] = math.sqrt(2.0) * float(erfcinv(alpha)) * sk
+        if not fast:
+            ybars[k] = ybar
+            sk = _mcse_series(flat[i1 - 1 :], **mcse_kwargs)
+            halfw[k] = math.sqrt(2.0) * float(erfcinv(alpha)) * sk
 
     converged_any = pvals > alpha
     first_idx = np.argmax(converged_any, axis=0)

@@ -2,21 +2,29 @@
 
 The reference delegates classification to external MLJ models (EvoTrees /
 XGBoost, src/rstar.jl:47-57). This is the TPU-native default classifier: a
-jitted multiclass softmax GBT with
+jitted multiclass softmax GBT designed around the MXU rather than around
+scatter ops:
 
-- quantile-binned features (uint8 bins, static ``n_bins``),
-- depth-``max_depth`` oblivious trees grown level-by-level: every node at a
-  level is split simultaneously, so the whole forest state is fixed-shape
-  arrays and the training loop is a ``lax.fori_loop`` over rounds
-  (no data-dependent Python control flow — XLA compiles one graph),
-- histogram split finding via one scatter-add per level: gradients and
-  hessians are accumulated into a ``(nodes, features, bins)`` histogram and
-  the best split maximizes the usual gain
-  ``GL^2/(HL+lam) + GR^2/(HR+lam) - G^2/(H+lam)``,
-- one tree per class per round with softmax cross-entropy gradients.
+- quantile-binned features (static ``n_bins``),
+- **shared-structure multi-output trees** (the "multi-output tree" strategy of
+  modern XGBoost/LightGBM): ONE tree per boosting round whose structure is
+  shared by all classes and whose leaves carry K-dimensional logit updates.
+  The split gain is the per-class gain summed over classes. This is the
+  TPU-native choice because node assignment is shared, so gradient/hessian
+  histograms for ALL classes accumulate in a single matmul,
+- **matmul histograms**: instead of scatter-adds (which serialize on TPU and
+  previously hard-faulted the worker at K~500 classes), the (node, bin)
+  one-hot matrix ``(n, nodes*bins)`` is contracted against the stacked
+  gradient/hessian matrix ``(n, 2K)`` on the MXU — one pass per feature via
+  ``lax.scan``,
+- trees grown level-by-level (oblivious layout): every node of a level splits
+  simultaneously, so the forest state is fixed-shape arrays and the training
+  loop is a ``lax.scan`` over rounds — no data-dependent Python control flow,
+  one compiled graph.
 
-Scatter-adds and the cumulative-histogram scans are VPU work; the dominant
-softmax/logit updates are dense (n, K) elementwise ops that XLA fuses.
+Complexity per round: ``max_depth * F`` matmuls of shape
+``(n, nodes*bins) x (n, 2K)`` plus one dense softmax over ``(n, K)`` — all
+MXU/VPU-friendly, zero scatters, zero gathers beyond per-level routing.
 """
 
 from __future__ import annotations
@@ -31,9 +39,9 @@ import numpy as np
 
 
 class GBTState(NamedTuple):
-    split_feature: jnp.ndarray  # (rounds, K, inner_nodes) int32
-    split_bin: jnp.ndarray  # (rounds, K, inner_nodes) int32
-    leaf_value: jnp.ndarray  # (rounds, K, leaves) float32
+    split_feature: jnp.ndarray  # (rounds, inner_nodes) int32
+    split_bin: jnp.ndarray  # (rounds, inner_nodes) int32
+    leaf_value: jnp.ndarray  # (rounds, leaves, K) float32
     bin_edges: jnp.ndarray  # (features, n_bins-1) quantile bin edges
     num_classes: int
 
@@ -73,8 +81,8 @@ class GBTClassifier:
         )
         if verbosity > 0:
             print(
-                f"GBTClassifier: fitted {self.n_rounds} rounds x {num_classes} "
-                f"classes, depth {self.max_depth}"
+                f"GBTClassifier: fitted {self.n_rounds} multi-output trees "
+                f"({num_classes} classes, depth {self.max_depth})"
             )
         return GBTState(sf, sb, lv, edges, num_classes)
 
@@ -134,11 +142,14 @@ def _fit_gbt(binned, y, *, num_classes, n_rounds, learning_rate, max_depth,
     n, nfeat = binned.shape
     inner = 2**max_depth - 1
     leaves = 2**max_depth
-    onehot = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)  # (n, K)
+    k = num_classes
+    onehot = jax.nn.one_hot(y, k, dtype=jnp.float32)  # (n, K)
 
-    def fit_tree(g, h):
-        """Fit one depth-`max_depth` tree on gradients g/h (n,). Returns
-        (split_feature (inner,), split_bin (inner,), leaf_value (leaves,))."""
+    def grow_tree(gh):
+        """Grow one shared-structure tree on stacked grads/hessians gh (n, 2K).
+
+        Returns (split_feature (inner,), split_bin (inner,),
+        leaf_value (leaves, K), node (n,))."""
         node = jnp.zeros((n,), jnp.int32)  # node id within current level
         feat_out = jnp.zeros((inner,), jnp.int32)
         bin_out = jnp.zeros((inner,), jnp.int32)
@@ -148,36 +159,57 @@ def _fit_gbt(binned, y, *, num_classes, n_rounds, learning_rate, max_depth,
         for depth in range(max_depth):
             n_nodes = 2**depth
             level_offset = 2**depth - 1
-            seg = (
-                node[:, None] * (nfeat * n_bins)
-                + jnp.arange(nfeat, dtype=jnp.int32)[None, :] * n_bins
-                + binned
-            )  # (n, F)
-            size = n_nodes * nfeat * n_bins
-            hist_g = (
-                jnp.zeros((size,), jnp.float32)
-                .at[seg.reshape(-1)]
-                .add(jnp.broadcast_to(g[:, None], (n, nfeat)).reshape(-1))
-                .reshape(n_nodes, nfeat, n_bins)
+
+            # (node, feature, bin) one-hot against stacked grads: ONE MXU
+            # contraction accumulates the histograms of every class, node,
+            # feature, and bin simultaneously. Features are chunked only when
+            # the one-hot would exceed ~256 MB; the common case is one chunk
+            # (a single flat einsum keeps the HLO small — nested scans inside
+            # the rounds scan made remote compilation pathological).
+            cols_per_feat = n_nodes * n_bins
+            max_feats = max(
+                1, (256 * 1024 * 1024) // (4 * n * cols_per_feat)
             )
-            hist_h = (
-                jnp.zeros((size,), jnp.float32)
-                .at[seg.reshape(-1)]
-                .add(jnp.broadcast_to(h[:, None], (n, nfeat)).reshape(-1))
-                .reshape(n_nodes, nfeat, n_bins)
+            hist_parts = []
+            for f0 in range(0, nfeat, max_feats):
+                fs = slice(f0, min(f0 + max_feats, nfeat))
+                nf = fs.stop - fs.start
+                seg = (
+                    node[:, None] * n_bins + binned[:, fs]
+                )  # (n, nf) in [0, nodes*B)
+                oh = jax.nn.one_hot(
+                    seg, cols_per_feat, dtype=jnp.float32
+                )  # (n, nf, nodes*B)
+                hist_parts.append(
+                    jnp.einsum(
+                        "nfc,nk->fck", oh, gh,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                )  # (nf, nodes*B, 2K)
+            hists = (
+                hist_parts[0] if len(hist_parts) == 1
+                else jnp.concatenate(hist_parts, axis=0)
             )
-            gl = jnp.cumsum(hist_g, axis=2)  # left sums for split at bin b
-            hl = jnp.cumsum(hist_h, axis=2)
-            gtot = gl[:, :, -1:]
-            htot = hl[:, :, -1:]
+            # (F, nodes*B, 2K) -> (nodes, F, B, 2K)
+            hist = hists.reshape(nfeat, n_nodes, n_bins, 2 * k).transpose(
+                1, 0, 2, 3
+            )
+            gl = jnp.cumsum(hist[..., :k], axis=2)  # left sums at split bin b
+            hl = jnp.cumsum(hist[..., k:], axis=2)
+            gtot = gl[:, :, -1:, :]
+            htot = hl[:, :, -1:, :]
             gr = gtot - gl
             hr = htot - hl
-            gain = (
+            # multi-output gain: per-class gain summed over classes
+            gain = jnp.sum(
                 gl**2 / (hl + reg_lambda)
                 + gr**2 / (hr + reg_lambda)
-                - gtot**2 / (htot + reg_lambda)
-            )
-            valid = (hl >= min_child_weight) & (hr >= min_child_weight)
+                - gtot**2 / (htot + reg_lambda),
+                axis=3,
+            )  # (nodes, F, B)
+            hl_sum = jnp.sum(hl, axis=3)
+            hr_sum = jnp.sum(hr, axis=3)
+            valid = (hl_sum >= min_child_weight) & (hr_sum >= min_child_weight)
             gain = jnp.where(valid, gain, -jnp.inf)
             gain = gain[:, :, :-1]  # split "<= bin b" for b < B-1
             flat_gain = gain.reshape(n_nodes, -1)
@@ -195,40 +227,36 @@ def _fit_gbt(binned, y, *, num_classes, n_rounds, learning_rate, max_depth,
             go_right = xf > bb[node]
             node = node * 2 + go_right.astype(jnp.int32)
 
-        # leaf values from final node assignment
-        leaf_g = jnp.zeros((leaves,), jnp.float32).at[node].add(g)
-        leaf_h = jnp.zeros((leaves,), jnp.float32).at[node].add(h)
-        leaf_value = -learning_rate * leaf_g / (leaf_h + reg_lambda)
+        # K-dim leaf values from the final node assignment (matmul, no scatter)
+        leaf_oh = jax.nn.one_hot(node, leaves, dtype=jnp.float32)  # (n, leaves)
+        sums = jnp.einsum(
+            "nl,nk->lk", leaf_oh, gh, precision=jax.lax.Precision.HIGHEST
+        )  # (leaves, 2K)
+        leaf_value = -learning_rate * sums[:, :k] / (sums[:, k:] + reg_lambda)
         return feat_out, bin_out, leaf_value, node
 
     def round_step(logits, _):
         p = jax.nn.softmax(logits, axis=1)  # (n, K)
-        g_all = p - onehot
-        h_all = p * (1.0 - p)
-
-        def per_class(c):
-            return fit_tree(g_all[:, c], h_all[:, c])
-
-        feats, bins_, leaf_vals, nodes = jax.vmap(per_class)(
-            jnp.arange(num_classes)
+        g = p - onehot
+        h = p * (1.0 - p)
+        feats, bins_, leaf_vals, node = grow_tree(
+            jnp.concatenate([g, h], axis=1)
         )
-        # apply updates: logits[:, c] += leaf_vals[c, node_c]
-        updates = jnp.take_along_axis(leaf_vals, nodes, axis=1)  # (K, n)
-        logits = logits + updates.T
+        logits = logits + leaf_vals[node]  # (n, K) gather by shared node id
         return logits, (feats, bins_, leaf_vals)
 
-    logits0 = jnp.zeros((n, num_classes), jnp.float32)
+    logits0 = jnp.zeros((n, k), jnp.float32)
     _, (sf, sb, lv) = jax.lax.scan(round_step, logits0, None, length=n_rounds)
-    return sf, sb, lv  # (rounds, K, inner/leaves)
+    return sf, sb, lv  # (rounds, inner), (rounds, inner), (rounds, leaves, K)
 
 
 @partial(jax.jit, static_argnames=("max_depth",))
 def _predict_logits(binned, split_feature, split_bin, leaf_value, max_depth: int):
     n = binned.shape[0]
-    rounds, k, _ = split_feature.shape
+    k = leaf_value.shape[-1]
 
-    def walk(sf, sb, lv):
-        """Route all samples through one tree; sf/sb (inner,), lv (leaves,)."""
+    def per_round(logits, tree):
+        sf, sb, lv = tree  # (inner,), (inner,), (leaves, K)
         node = jnp.zeros((n,), jnp.int32)
         for depth in range(max_depth):
             offset = 2**depth - 1
@@ -237,8 +265,10 @@ def _predict_logits(binned, split_feature, split_bin, leaf_value, max_depth: int
             b = sb[idx]
             xf = jnp.take_along_axis(binned, f[:, None], axis=1)[:, 0]
             node = node * 2 + (xf > b).astype(jnp.int32)
-        return lv[node]  # (n,)
+        return logits + lv[node], None
 
-    per_tree = jax.vmap(jax.vmap(walk, in_axes=(0, 0, 0)), in_axes=(0, 0, 0))
-    contrib = per_tree(split_feature, split_bin, leaf_value)  # (rounds, K, n)
-    return jnp.sum(contrib, axis=0).T  # (n, K)
+    logits0 = jnp.zeros((n, k), jnp.float32)
+    logits, _ = jax.lax.scan(
+        per_round, logits0, (split_feature, split_bin, leaf_value)
+    )
+    return logits

@@ -26,6 +26,65 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def geyer_ess_from_rho_dynamic(rho, ntotal, eff_maxlag, relative: bool = False):
+    """Dynamic-length variant of :func:`geyer_ess_from_rho`.
+
+    ``rho`` has static shape (Lmax+1, P) but only lags ``0..eff_maxlag`` are
+    semantically valid; ``ntotal`` and ``eff_maxlag`` may be traced scalars.
+    Reproduces exactly what the static reduction would return for
+    ``maxlag = eff_maxlag`` — used by the masked window kernels (batched
+    Geweke / Heidelberger) where every window has a different live length but
+    one compiled graph must serve them all.
+    """
+    lmax = rho.shape[0] - 1
+    nparams = rho.shape[1]
+    if lmax < 1:
+        raise ValueError("rho must cover at least lag 1")
+    dtype = rho.dtype
+    ntotal = jnp.asarray(ntotal, dtype)
+    eff_maxlag = jnp.asarray(eff_maxlag, jnp.int32)
+
+    delta0 = 1.0 + rho[1]  # pair (rho_0=1, rho_1); always summed
+    num_pairs = max(0, (lmax - 2) // 2)  # static upper bound on pair count
+    # without a break the loop exits at the smallest even >= max(2, maxlag-1)
+    k_nobreak = 2 * ((jnp.maximum(2, eff_maxlag - 1) + 1) // 2)
+
+    if num_pairs > 0:
+        t = jnp.arange(1, num_pairs + 1)
+        in_range = (t <= (eff_maxlag - 2) // 2)[:, None]  # (T, 1)
+        delta = rho[2 * t] + rho[2 * t + 1]  # (T, P)
+        positive = delta > 0
+        # out-of-range pairs must neither break nor contribute
+        alive = (
+            jnp.cumprod((positive | ~in_range).astype(jnp.int32), axis=0).astype(bool)
+            & in_range
+        )
+        p = jax.lax.cummin(jnp.concatenate([delta0[None], delta], axis=0), axis=0)[1:]
+        tail_sum = jnp.sum(jnp.where(alive, p, jnp.zeros((), dtype)), axis=0)
+        broke_mask = (~positive) & in_range
+        broke = jnp.any(broke_mask, axis=0)
+        t_break = 1 + jnp.argmax(broke_mask, axis=0)
+        k_final = jnp.where(broke, 2 * t_break, k_nobreak).astype(jnp.int32)
+        has_nan = jnp.any(jnp.isnan(delta) & in_range, axis=0)
+        tail_sum = jnp.where(has_nan, jnp.nan, tail_sum)
+    else:
+        tail_sum = jnp.zeros((nparams,), dtype)
+        k_final = jnp.full((nparams,), 2, dtype=jnp.int32)
+
+    sum_p = delta0 + tail_sum
+    rho_even = jnp.take_along_axis(
+        rho, jnp.clip(k_final, 0, lmax)[None], axis=0
+    )[0]
+    rho_even = jnp.where(eff_maxlag > 1, rho_even, jnp.zeros((), dtype))
+
+    tau = jnp.maximum(0.0, 2.0 * sum_p + jnp.maximum(0.0, rho_even) - 1.0)
+    ess_rel = jnp.minimum(1.0 / tau, jnp.log10(ntotal))
+    ess_rel = jnp.where(jnp.isnan(sum_p) | jnp.isnan(rho_even), jnp.nan, ess_rel)
+    if relative:
+        return ess_rel
+    return ess_rel * ntotal
+
+
 def geyer_ess_from_rho(rho, ntotal: int, relative: bool = False):
     """ESS from autocorrelation curve ``rho`` of shape (maxlag+1, P).
 

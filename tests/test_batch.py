@@ -60,3 +60,37 @@ class TestRafteryBatch:
                 scalar = mdt.rafterydiag(x[:, c, p])
                 assert res.thinning[c, p] == scalar.thinning
                 np.testing.assert_allclose(res.total[c, p], scalar.total)
+
+
+class TestDynamicGeyer:
+    def test_dynamic_matches_static_truncation(self, rng):
+        """geyer_ess_from_rho_dynamic(rho, n, L) == static reduction on rho[:L+1]."""
+        import jax.numpy as jnp
+        from mcmcdiagnostictools_jl_tpu.ops.geyer import (
+            geyer_ess_from_rho,
+            geyer_ess_from_rho_dynamic,
+        )
+
+        # realistic decaying autocorrelation curves with sign noise
+        lags = np.arange(251)[:, None]
+        rho = 0.9 ** lags * np.cos(0.3 * lags * (1 + np.arange(6)[None, :]))
+        rho[0] = 1.0
+        rho = jnp.asarray(rho)
+        for eff in (250, 249, 101, 37, 8, 5, 3, 2):
+            static = geyer_ess_from_rho(rho[: eff + 1], 4000)
+            dynamic = geyer_ess_from_rho_dynamic(rho, 4000, eff)
+            np.testing.assert_allclose(
+                np.asarray(dynamic), np.asarray(static), rtol=1e-12,
+                err_msg=f"eff_maxlag={eff}",
+            )
+
+    def test_window_kernel_matches_full_series_mcse(self, rng):
+        """A (0, n) window equals the plain single-chain mean-MCSE."""
+        import mcmcdiagnostictools_jl_tpu as mdt
+        from mcmcdiagnostictools_jl_tpu.diagnostics.batch import _window_mcse_mean
+
+        x = ref_impl.ar1_matrix(rng, 0.6, 1.0, (800, 1, 3))[:, 0, :]
+        s, m, _ = _window_mcse_mean(x, np.array([0]), np.array([800]))
+        ref = np.asarray(mdt.mcse(x[:, None, :], split_chains=1))
+        np.testing.assert_allclose(np.asarray(s[0]), ref, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(m[0]), x.mean(axis=0), rtol=1e-12)
