@@ -86,7 +86,13 @@ def config3():
     out = {}
     t0 = time.perf_counter()
     gewekediag_batch(x)
+    out["wall_s_geweke_batch_cold"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gewekediag_batch(x)
     out["wall_s_geweke_batch"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    heideldiag_batch(x)
+    out["wall_s_heidel_batch_cold"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     heideldiag_batch(x)
     out["wall_s_heidel_batch"] = time.perf_counter() - t0

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.special import erfcinv
 
-from ..ops.autocov import next_fft_size
+from ..ops.autocov import _mean_autocov_direct
 from ..ops.geyer import geyer_ess_from_rho_dynamic
 from ..ops.special import pcramer
 from ..utils.layout import canonicalize
@@ -83,39 +83,81 @@ def _window_mcse_mean(flat, starts, stops, maxlag: int = 250):
     ``flat``: (n, S); ``starts``/``stops``: (W,) int32 half-open 0-based window
     bounds (each window must have length > 4). Returns ``(mcse, mean, ess)``
     each of shape (W, S). Numerically the single-chain (split_chains=1)
-    FFT-method mean-MCSE of ``flat[start:stop]`` — masked centering zeroes
-    everything outside the window, so the full-length zero-padded FFT yields
-    the window's exact lag sums (src/ess_rhat.jl:103-118 semantics with the
-    window's own length in every normalization).
+    mean-MCSE of ``flat[start:stop]``: masked centering zeroes everything
+    outside the window, so the lag-k sums of the padded series are exactly the
+    window's own (src/ess_rhat.jl:103-118 semantics with the window's length
+    in every normalization — the FFT and direct estimators compute the same
+    sums; the direct lag scan is used because its XLA graph compiles orders of
+    magnitude faster than a 2^a*3^b-length batched FFT on the TPU compile
+    service, and this is not the throughput path).
+    """
+    n, nser = flat.shape
+    nwin = len(starts)
+    dtype = flat.dtype
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.asarray(starts, jnp.int32)
+    stops = jnp.asarray(stops, jnp.int32)
+
+    mask = (
+        (idx[:, None] >= starts[None]) & (idx[:, None] < stops[None])
+    ).astype(dtype)  # (n, W)
+    m = (stops - starts).astype(dtype)  # (W,)
+    mean = jnp.einsum("nw,ns->ws", mask, flat) / m[:, None]  # (W, S)
+    z = (flat[:, None, :] - mean[None]) * mask[:, :, None]  # (n, W, S)
+    var = jnp.sum(z * z, axis=0) / (m[:, None] - 1.0)  # (W, S)
+
+    # unnormalized lag sums c_k = sum_i z_i z_{i+k} for every window at once
+    zs = z.reshape(n, 1, nwin * nser)
+    c = _mean_autocov_direct(zs, None, maxlag) * n  # (L+1, W*S)
+    c = c.reshape(maxlag + 1, nwin, nser)
+    acov = c / m[None, :, None]
+    w_stat = var  # single chain: W = chain_var, between-chain var = 0
+    var_plus = (m[:, None] - 1.0) / m[:, None] * w_stat
+    rho = (1.0 - (w_stat[None] - acov) / var_plus[None]).reshape(
+        maxlag + 1, nwin * nser
+    )
+    eff_maxlag = jnp.minimum(maxlag, (stops - starts) - 4)  # (W,)
+    ess = geyer_ess_from_rho_dynamic(
+        rho,
+        jnp.repeat(m, nser),
+        jnp.repeat(eff_maxlag, nser),
+    ).reshape(nwin, nser)
+    return jnp.sqrt(var) / jnp.sqrt(ess), mean, ess
+
+
+@partial(jax.jit, static_argnames=("maxlag",))
+def _heidel_scan_kernel(flat, cand_starts, half_start, maxlag: int = 250):
+    """Fused Heidelberger scan: suffix MCSEs + Cramer-von Mises p-values.
+
+    ``flat``: (n, S); ``cand_starts``: (W,) 0-based burn-in candidates;
+    ``half_start``: 0-based start of the second-half window whose MCSE scales
+    the CvM statistic (src/heideldiag.jl:26-39). Returns
+    ``(mcse_cand, mean_cand, pvals)`` each (W, S).
     """
     n, _ = flat.shape
-    dtype = flat.dtype
-    mfft = next_fft_size(2 * n - 1)
-    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.concatenate([jnp.asarray([half_start], jnp.int32),
+                              jnp.asarray(cand_starts, jnp.int32)])
+    stops = jnp.full(starts.shape, n, jnp.int32)
+    mcse_all, mean_all, _ = _window_mcse_mean(flat, starts, stops, maxlag)
+    s0 = (n - half_start) * mcse_all[0] ** 2  # (S,)
 
-    def one_window(start, stop):
-        mask = ((idx >= start) & (idx < stop)).astype(dtype)[:, None]
-        m = (stop - start).astype(dtype)
-        mean = jnp.sum(flat * mask, axis=0) / m
-        z = (flat - mean[None, :]) * mask
-        var = jnp.sum(z * z, axis=0) / (m - 1.0)
-        f = jnp.fft.rfft(z, n=mfft, axis=0)
-        c = jnp.fft.irfft(jnp.real(f) ** 2 + jnp.imag(f) ** 2, n=mfft, axis=0)[
-            : maxlag + 1
-        ]
-        c0 = c[0][None]
-        ratio = jnp.where(c0 > 0, c / jnp.where(c0 > 0, c0, 1.0), 0.0)
-        acov = ratio * (var * ((m - 1.0) / m))[None]
-        w = var  # single chain: W = chain_var, between-chain var = 0
-        var_plus = (m - 1.0) / m * w
-        rho = 1.0 - (w[None] - acov) / var_plus[None]
-        eff_maxlag = jnp.minimum(maxlag, (stop - start) - 4)
-        ess = geyer_ess_from_rho_dynamic(rho, m, eff_maxlag)
-        return jnp.sqrt(var) / jnp.sqrt(ess), mean, ess
+    csum = jnp.cumsum(flat, axis=0)  # (n, S)
+    idx = jnp.arange(n, dtype=flat.dtype)
 
-    return jax.vmap(one_window)(
-        jnp.asarray(starts, jnp.int32), jnp.asarray(stops, jnp.int32)
-    )
+    def one(a, ybar):
+        # Brownian-bridge partial sums of the suffix y = flat[a:]:
+        # b_j = sum(y[:j-a+1]) - ybar*(j-a+1) for j >= a, via the global cumsum
+        prev = jnp.where(a > 0, csum[jnp.maximum(a - 1, 0)], 0.0)  # (S,)
+        steps = (idx - a.astype(flat.dtype) + 1.0)[:, None]  # (n, 1)
+        b = csum - prev[None] - ybar[None] * steps
+        active = (idx >= a.astype(flat.dtype))[:, None]
+        ssq = jnp.sum(jnp.where(active, b * b, 0.0), axis=0)  # (S,)
+        md = jnp.asarray(n, flat.dtype) - a.astype(flat.dtype)
+        return ssq / (md * s0) / md
+
+    cvm = jax.vmap(one)(starts[1:], mean_all[1:])  # (W, S)
+    pvals = 1.0 - pcramer(cvm)
+    return mcse_all[1:], mean_all[1:], pvals
 
 
 def gewekediag_batch(samples, *, first: float = 0.1, last: float = 0.5,
@@ -170,34 +212,27 @@ def heideldiag_batch(samples, *, alpha: float = 0.05, eps: float = 0.1,
 
     fast = set(mcse_kwargs) <= {"maxlag"} and n - half_start > 4
     if fast:
-        # every suffix window in ONE masked fixed-shape call (single compile)
-        win_starts = np.array([half_start] + [i1 - 1 for i1 in starts])
-        win_stops = np.full(len(starts) + 1, n)
-        mcse_all, mean_all, _ = _window_mcse_mean(
-            flat[:, 0, :], win_starts, win_stops,
+        # every suffix window + the CvM scan in ONE fused jitted call
+        mcse_c, ybars, pv = _heidel_scan_kernel(
+            flat[:, 0, :], np.array([i1 - 1 for i1 in starts]), half_start,
             maxlag=mcse_kwargs.get("maxlag", 250),
         )
-        mcse_all = np.asarray(mcse_all)
-        mean_all = np.asarray(mean_all)
-        s = mcse_all[0]
-        ybars = mean_all[1:]
-        halfw = math.sqrt(2.0) * float(erfcinv(alpha)) * mcse_all[1:]
+        pvals = np.asarray(pv)
+        ybars = np.asarray(ybars)
+        halfw = math.sqrt(2.0) * float(erfcinv(alpha)) * np.asarray(mcse_c)
     else:
         s = _mcse_series(flat[half_start:], **mcse_kwargs)
-    s0 = (n - half_start) * s**2  # (S,)
-
-    pvals = np.empty((len(starts), nseries))
-    if not fast:
+        s0 = (n - half_start) * s**2  # (S,)
+        pvals = np.empty((len(starts), nseries))
         ybars = np.empty((len(starts), nseries))
         halfw = np.empty((len(starts), nseries))
-    for k, i1 in enumerate(starts):
-        y = np.asarray(flat[i1 - 1 :, 0, :])  # (m, S)
-        m = y.shape[0]
-        ybar = ybars[k] if fast else y.mean(axis=0)
-        b = np.cumsum(y, axis=0) - ybar[None, :] * np.arange(1, m + 1)[:, None]
-        cvm = (b * b).sum(axis=0) / (m * s0) / m
-        pvals[k] = 1.0 - np.asarray(pcramer(jnp.asarray(cvm)))
-        if not fast:
+        for k, i1 in enumerate(starts):
+            y = np.asarray(flat[i1 - 1 :, 0, :])  # (m, S)
+            m = y.shape[0]
+            ybar = y.mean(axis=0)
+            b = np.cumsum(y, axis=0) - ybar[None, :] * np.arange(1, m + 1)[:, None]
+            cvm = (b * b).sum(axis=0) / (m * s0) / m
+            pvals[k] = 1.0 - np.asarray(pcramer(jnp.asarray(cvm)))
             ybars[k] = ybar
             sk = _mcse_series(flat[i1 - 1 :], **mcse_kwargs)
             halfw[k] = math.sqrt(2.0) * float(erfcinv(alpha)) * sk

@@ -44,8 +44,11 @@ from ..ops.ranknorm import (
     batched_median,
     batched_quantile,
     fold_around_median,
+    rank_bulk_tail_transforms,
     rank_normalize,
-    rank_normalize_with_median,
+    rank_normalize_folded_sorted,
+    sort_with_positions,
+    sorted_quantile,
 )
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
@@ -234,29 +237,29 @@ def _ess_rhat_pipeline(
         proxy = _expectand_proxy(kind, x3, q)
         return _basic_ess_rhat(proxy, split_chains, maxlag, method, relative)
     if kind == "tail":
+        # one shared payload sort: both quantile thresholds, the median, and
+        # the folded rank transform (bitonic merge) come from it
         tail_prob = 0.1 if q is None else q
-        ess_lo, _ = _ess_rhat_pipeline(
-            x3, kind="quantile", split_chains=split_chains, maxlag=maxlag,
-            method=method, relative=relative, q=tail_prob / 2,
+        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        t_lo = jnp.where(bad, jnp.nan, sorted_quantile(xs, tail_prob / 2))
+        t_hi = jnp.where(bad, jnp.nan, sorted_quantile(xs, 1 - tail_prob / 2))
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        ess_lo, _ = _basic_ess_rhat(
+            _indicator_leq(x3, t_lo), split_chains, maxlag, method, relative
         )
-        ess_hi, _ = _ess_rhat_pipeline(
-            x3, kind="quantile", split_chains=split_chains, maxlag=maxlag,
-            method=method, relative=relative, q=1 - tail_prob / 2,
+        ess_hi, _ = _basic_ess_rhat(
+            _indicator_leq(x3, t_hi), split_chains, maxlag, method, relative
         )
         ess = jnp.minimum(ess_lo, ess_hi)
-        rhat = _basic_rhat(
-            rank_normalize(fold_around_median(x3), staged=staged_sort),
-            split_chains,
-        )
-        return ess, rhat
+        zf = rank_normalize_folded_sorted(
+            xs, order, med, staged=staged_sort
+        ).reshape(x3.shape)
+        return ess, _basic_rhat(zf, split_chains)
     if kind == "rank":
-        z, med = rank_normalize_with_median(x3, staged=staged_sort)
+        z, zf, _ = rank_bulk_tail_transforms(x3, staged=staged_sort)
         ess_bulk, rhat_bulk = _basic_ess_rhat(z, split_chains, maxlag, method,
                                               relative)
-        folded = jnp.abs(x3 - med[None, None, :])
-        rhat_tail = _basic_rhat(
-            rank_normalize(folded, staged=staged_sort), split_chains
-        )
+        rhat_tail = _basic_rhat(zf, split_chains)
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
@@ -268,16 +271,16 @@ def _rhat_pipeline(x3, *, kind: str, split_chains: int, staged_sort: bool = Fals
     if kind == "bulk":
         return _basic_rhat(rank_normalize(x3, staged=staged_sort), split_chains)
     if kind == "tail":
-        return _basic_rhat(
-            rank_normalize(fold_around_median(x3), staged=staged_sort),
-            split_chains,
-        )
+        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        zf = rank_normalize_folded_sorted(
+            xs, order, med, staged=staged_sort
+        ).reshape(x3.shape)
+        return _basic_rhat(zf, split_chains)
     if kind == "rank":
-        z, med = rank_normalize_with_median(x3, staged=staged_sort)
+        z, zf, _ = rank_bulk_tail_transforms(x3, staged=staged_sort)
         bulk = _basic_rhat(z, split_chains)
-        folded = jnp.abs(x3 - med[None, None, :])
-        tail = _basic_rhat(rank_normalize(folded, staged=staged_sort),
-                           split_chains)
+        tail = _basic_rhat(zf, split_chains)
         return jnp.maximum(tail, bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 

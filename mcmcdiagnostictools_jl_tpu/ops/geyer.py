@@ -30,11 +30,11 @@ def geyer_ess_from_rho_dynamic(rho, ntotal, eff_maxlag, relative: bool = False):
     """Dynamic-length variant of :func:`geyer_ess_from_rho`.
 
     ``rho`` has static shape (Lmax+1, P) but only lags ``0..eff_maxlag`` are
-    semantically valid; ``ntotal`` and ``eff_maxlag`` may be traced scalars.
-    Reproduces exactly what the static reduction would return for
-    ``maxlag = eff_maxlag`` — used by the masked window kernels (batched
-    Geweke / Heidelberger) where every window has a different live length but
-    one compiled graph must serve them all.
+    semantically valid; ``ntotal`` and ``eff_maxlag`` may be traced scalars or
+    per-column (P,) arrays. Reproduces exactly what the static reduction
+    would return for ``maxlag = eff_maxlag`` — used by the masked window
+    kernels (batched Geweke / Heidelberger) where every window has a
+    different live length but one compiled graph must serve them all.
     """
     lmax = rho.shape[0] - 1
     nparams = rho.shape[1]
@@ -51,7 +51,8 @@ def geyer_ess_from_rho_dynamic(rho, ntotal, eff_maxlag, relative: bool = False):
 
     if num_pairs > 0:
         t = jnp.arange(1, num_pairs + 1)
-        in_range = (t <= (eff_maxlag - 2) // 2)[:, None]  # (T, 1)
+        # (T, 1) for scalar eff_maxlag, (T, P) for per-column lengths
+        in_range = t[:, None] <= jnp.atleast_1d((eff_maxlag - 2) // 2)[None]
         delta = rho[2 * t] + rho[2 * t + 1]  # (T, P)
         positive = delta > 0
         # out-of-range pairs must neither break nor contribute

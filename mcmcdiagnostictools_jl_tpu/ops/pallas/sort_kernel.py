@@ -50,16 +50,54 @@ def _flag_mask(flag_i32, shape):
 
 def _cmpx_local(keys, payload, stride: int, stage: int, dir_bit,
                 hw_roll: bool = True):
-    """In-VMEM compare-exchange at ``stride`` < TILE within ``stage``.
+    """In-VMEM compare-exchange at ``stride`` < rows within ``stage``.
 
-    Pure 2-D formulation (Mosaic rejects the singleton-dim reshape form):
-    each row's partner is ``row XOR stride``, reached with two sublane rolls;
-    every select is on (TILE, LANES) vectors.
+    Two lowerings, selected by stride:
 
-    ``dir_bit``: traced scalar, the (row & stage) bit shared by the whole tile
-    when stage >= TILE (0 => ascending); ignored for stage < TILE where the
-    bit comes from local row indices.
+    - ``stride >= 8`` — reshape form: view (T, L) as (T/2s, 2, s, L); the pair
+      halves are adjacent on dim 1, so the exchange is a min/max over two
+      (T/2s, s, L) vectors plus one interleaving store. Sublane-aligned for
+      f32 when s is a multiple of 8 (Mosaic rejects s < 8: singleton-dim
+      vector truncs), and moves ~3x less VMEM data than the rotate form.
+    - ``stride < 8`` — rotate form: partner ``row XOR stride`` via two sublane
+      rotates (register shuffles) and full-size selects.
+
+    ``dir_bit``: traced scalar, the (row & stage) bit shared by the whole
+    block when stage >= rows (0 => ascending); ignored for stage < rows where
+    the bit comes from local row indices.
     """
+    t = keys.shape[0]
+    if stride >= 8 and t % (2 * stride) == 0:
+        return _cmpx_reshape(keys, payload, stride, stage, dir_bit)
+    return _cmpx_rotate(keys, payload, stride, stage, dir_bit, hw_roll)
+
+
+def _cmpx_reshape(keys, payload, stride: int, stage: int, dir_bit):
+    t, lanes = keys.shape
+    g = t // (2 * stride)
+    k4 = keys.reshape(g, 2, stride, lanes)
+    p4 = payload.reshape(g, 2, stride, lanes)
+    lo_k, hi_k = k4[:, 0], k4[:, 1]  # (g, stride, L)
+    lo_p, hi_p = p4[:, 0], p4[:, 1]
+    if stage >= t:
+        desc = _flag_mask(dir_bit, (g, stride, lanes))
+    else:
+        # row = a*2s + b*s + c: the (row & stage) bit depends only on the
+        # group index a (stage >= 2*stride always holds in the network)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (g, stride, lanes), 0)
+        desc = (grp & (stage // (2 * stride))) != 0
+    swap = (lo_k > hi_k) != desc
+    new_lo_k = jnp.where(swap, hi_k, lo_k)
+    new_hi_k = jnp.where(swap, lo_k, hi_k)
+    new_lo_p = jnp.where(swap, hi_p, lo_p)
+    new_hi_p = jnp.where(swap, lo_p, hi_p)
+    keys = jnp.stack([new_lo_k, new_hi_k], axis=1).reshape(t, lanes)
+    payload = jnp.stack([new_lo_p, new_hi_p], axis=1).reshape(t, lanes)
+    return keys, payload
+
+
+def _cmpx_rotate(keys, payload, stride: int, stage: int, dir_bit,
+                 hw_roll: bool = True):
     t = keys.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, _LANES), 0)
     is_lo = (rows & stride) == 0
@@ -143,13 +181,20 @@ def _cross_kernel(ka_ref, pa_ref, kb_ref, pb_ref, ko_ref, po_ref, *,
 
 def _tail_kernel(k_ref, p_ref, ko_ref, po_ref, *, tile: int, stage_tiles: int,
                  hw_roll: bool = True):
-    """All strides TILE/2..1 of outer stage m (tile units) in one VMEM pass."""
-    tile_idx = pl.program_id(0)
-    dir_bit = jnp.int32((tile_idx & stage_tiles) != 0)  # 1 => descending
+    """Strides TILE..1 of outer stage m in ONE VMEM pass over a 2-tile block.
+
+    The block covers tiles (2b, 2b+1), so the stride == TILE exchange (the
+    old s=1 cross-tile pass) is local too — one pallas_call and one HBM round
+    trip fewer per outer stage. Direction: rows r = b*2T + r_local and
+    stage_rows = m*T with m >= 2, so (r & stage_rows) != 0 iff
+    (b & (m//2)) != 0 — constant per block.
+    """
+    block_idx = pl.program_id(0)
+    dir_bit = jnp.int32((block_idx & (stage_tiles // 2)) != 0)
     keys = k_ref[:]
     payload = p_ref[:]
-    stage = stage_tiles * tile  # >= tile: per-tile constant direction
-    stride = tile // 2
+    stage = stage_tiles * tile  # >= block rows: per-block constant direction
+    stride = tile
     while stride >= 1:
         keys, payload = _cmpx_local(keys, payload, stride, stage, dir_bit,
                                     hw_roll)
@@ -187,15 +232,15 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
     px = jnp.pad(payload, ((0, npow - n), (0, lane_pad)))
     ptot = p + lane_pad
     ntiles = npow // tile
-    grid = (ntiles, ptot // _LANES)
 
-    def call(kernel, operands, **kw):
-        nspec = len(operands) // 2
+    def call(kernel, operands, block_rows, nblocks, **kw):
+        spec = pl.BlockSpec((block_rows, _LANES), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(nblocks, ptot // _LANES),
             in_specs=[s for s, _ in operands],
-            out_specs=(_tile_spec(tile), _tile_spec(tile)),
+            out_specs=(spec, spec),
             out_shape=(
                 jax.ShapeDtypeStruct((npow, ptot), kx.dtype),
                 jax.ShapeDtypeStruct((npow, ptot), px.dtype),
@@ -212,13 +257,15 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
         functools.partial(_phase_a_kernel, tile=tile, max_stage=tile,
                           hw_roll=not interpret),
         [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
+        tile, ntiles,
     )
 
-    # Phase B
+    # Phase B: per outer stage m, cross-tile passes at tile strides m/2..2,
+    # then ONE fused 2-tile pass covering strides tile..1
     m = 2
     while m <= ntiles:
         s = m // 2
-        while s >= 1:
+        while s >= 2:
             kx, px = call(
                 functools.partial(_cross_kernel, stride_tiles=s, stage_tiles=m),
                 [
@@ -227,12 +274,16 @@ def staged_sort(keys, payload, *, tile: int = _TILE, interpret: bool = False):
                     (_partner_spec(tile, s), kx),
                     (_partner_spec(tile, s), px),
                 ],
+                tile, ntiles,
             )
             s //= 2
+        pair_spec = pl.BlockSpec((2 * tile, _LANES), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM)
         kx, px = call(
             functools.partial(_tail_kernel, tile=tile, stage_tiles=m,
                               hw_roll=not interpret),
-            [(_tile_spec(tile), kx), (_tile_spec(tile), px)],
+            [(pair_spec, kx), (pair_spec, px)],
+            2 * tile, ntiles // 2,
         )
         m *= 2
 

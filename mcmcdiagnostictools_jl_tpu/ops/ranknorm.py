@@ -82,6 +82,65 @@ def _tiedrank_sorted(xs, order, staged: bool = False):
     return ranks
 
 
+def bitonic_merge_valley(keys, payload):
+    """Sort a per-column *valley* sequence (decreasing then increasing) with a
+    single bitonic merge, carrying ``payload``.
+
+    A valley is a cyclic rotation of a bitonic sequence, so Batcher's merge
+    (log2 N compare-exchange stages at strides N/2..1) sorts it — ~20 stages
+    instead of the ~log^2 N / 2 ~ 220 of a full sort. This is how the rank
+    pipeline sorts ``|x - median|``: in x-sorted order the folded values are
+    exactly a valley, so the tail transform reuses the bulk transform's sort
+    (see ``rank_normalize_folded_sorted``).
+
+    Rows pad to a power of two with +inf appended at the end (which keeps the
+    valley property). Unstable; ties are averaged downstream.
+    """
+    n, p = keys.shape
+    npow = 1 << max(1, (n - 1).bit_length())
+    if jnp.issubdtype(keys.dtype, jnp.floating):
+        pad_val = jnp.inf
+    else:
+        pad_val = jnp.iinfo(keys.dtype).max
+    kx = jnp.pad(keys, ((0, npow - n), (0, 0)), constant_values=pad_val)
+    px = jnp.pad(payload, ((0, npow - n), (0, 0)))
+    s = npow // 2
+    while s >= 1:
+        k4 = kx.reshape(npow // (2 * s), 2, s, p)
+        p4 = px.reshape(npow // (2 * s), 2, s, p)
+        lo_k, hi_k = k4[:, 0], k4[:, 1]
+        lo_p, hi_p = p4[:, 0], p4[:, 1]
+        swap = lo_k > hi_k
+        kx = jnp.stack(
+            [jnp.where(swap, hi_k, lo_k), jnp.where(swap, lo_k, hi_k)], axis=1
+        ).reshape(npow, p)
+        px = jnp.stack(
+            [jnp.where(swap, hi_p, lo_p), jnp.where(swap, lo_p, hi_p)], axis=1
+        ).reshape(npow, p)
+        s //= 2
+    return kx[:n], px[:n]
+
+
+def rank_normalize_folded_sorted(xs, order, med, *, staged: bool = False):
+    """Rank-normalize ``|x - med|`` reusing the (xs, order) sort of ``x``.
+
+    ``xs``/``order``: ascending values and the original-position permutation
+    from the bulk transform's sort; ``med``: (P,) per-column median. The
+    folded values in xs-order are a valley, so sorting them costs one bitonic
+    merge instead of a full sort. Returns the rank-normalized folded sample
+    in ORIGINAL row order, shape of ``xs`` — numerically identical to
+    ``rank_normalize(|x - med|)``.
+    """
+    n = xs.shape[0]
+    folded = jnp.abs(xs - med[None, :])
+    fs, forder = bitonic_merge_valley(folded, order)
+    ranks = _tiedrank_sorted(fs, forder, staged)
+    q = (ranks - 0.375) / (n + 0.25)
+    z = ndtri(q)
+    bad = _has_nan_cols(xs)[None, :]
+    return jnp.where(bad, jnp.nan, z)
+
+
 def rank_normalize(x3, *, staged: bool = False):
     """Rank-normalize each parameter slice over its joint (draw, chain) sample.
 
@@ -112,6 +171,43 @@ def rank_normalize_with_median(x3, *, staged: bool = False):
     z = jnp.where(bad, jnp.nan, z)
     med = jnp.where(bad[0], jnp.nan, sorted_quantile(xs, 0.5))
     return z.reshape(d, c, p), med
+
+
+def sort_with_positions(x3, *, staged: bool = False):
+    """One payload sort of the flattened sample: ``(xs, order, bad)``.
+
+    ``xs``: ascending values (N, P); ``order``: original row of each sorted
+    value; ``bad``: (P,) NaN-poisoned columns. The shared entry point for
+    every transform that can reuse a single sort (rank/tail kinds, quantile
+    thresholds, medians).
+    """
+    xf = _flatten_sample(x3)
+    iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+    xs, order = _sort_pair(xf, iota, staged)
+    return xs, order, _has_nan_cols(xf)
+
+
+def rank_bulk_tail_transforms(x3, *, staged: bool = False):
+    """Fused rank-kind transform pair: ``(z_bulk, z_tail, med)``.
+
+    ``z_bulk`` = rank-normalized ``x`` and ``z_tail`` = rank-normalized
+    ``|x - median|`` — the two inputs of the ``:rank`` kind
+    (src/ess_rhat.jl:604-624) — from ONE payload sort plus one bitonic merge
+    (the folded values are a valley in x-sorted order) plus the two
+    unavoidable inverse-permutation sorts. Saves a full O(N log^2 N) sort vs
+    transforming independently; numerically identical.
+    """
+    d, c, p = x3.shape
+    with jax.named_scope("mdt.rank_sort"):
+        xs, order, bad = sort_with_positions(x3, staged=staged)
+        r = _tiedrank_sorted(xs, order, staged)
+    n = xs.shape[0]
+    z = ndtri((r - 0.375) / (n + 0.25))
+    z = jnp.where(bad[None, :], jnp.nan, z)
+    med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+    with jax.named_scope("mdt.fold_merge"):
+        zf = rank_normalize_folded_sorted(xs, order, med, staged=staged)
+    return z.reshape(d, c, p), zf.reshape(d, c, p), med
 
 
 def sorted_quantile(xs, p):

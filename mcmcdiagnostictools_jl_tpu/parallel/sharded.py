@@ -33,7 +33,11 @@ from ..ops.autocov import mean_autocov_curve
 from ..ops.geyer import geyer_ess_from_rho
 from ..ops.ranknorm import (
     fold_around_median,
+    rank_bulk_tail_transforms,
     rank_normalize,
+    rank_normalize_folded_sorted,
+    sort_with_positions,
+    sorted_quantile,
     batched_quantile,
     _has_nan_cols,
 )
@@ -109,6 +113,22 @@ def _global_transform(xb, transform, chain_axis: str):
     return _my_chain_slice(transform(full), c_loc, chain_axis)
 
 
+def _global_rank_pair(xb, chain_axis: str):
+    """Fused bulk/tail rank transforms from ONE all_gather + ONE payload sort.
+
+    Returns the local chain blocks of (rank_normalize(x),
+    rank_normalize(|x - median|)) — the shared-sort + bitonic-merge fusion of
+    ``rank_bulk_tail_transforms`` applied to the gathered global sample.
+    """
+    c_loc = xb.shape[1]
+    full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
+    z, zf, _ = rank_bulk_tail_transforms(full)
+    return (
+        _my_chain_slice(z, c_loc, chain_axis),
+        _my_chain_slice(zf, c_loc, chain_axis),
+    )
+
+
 def _sharded_quantile_proxy(xb, q, chain_axis: str):
     c_loc = xb.shape[1]
     full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
@@ -133,30 +153,34 @@ def _sharded_kernel(
             relative=relative, chain_axis=chain_axis,
         )
     if kind == "tail":
+        # one all_gather + one payload sort serves both quantile thresholds
+        # and the folded rank transform (bitonic merge)
         tail_prob = 0.1 if q is None else q
+        c_loc = xb.shape[1]
+        full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
+        xs, order, bad = sort_with_positions(full)
         ess_parts = []
         for p in (tail_prob / 2, 1 - tail_prob / 2):
-            proxy = _sharded_quantile_proxy(xb, p, chain_axis)
+            thr = jnp.where(bad, jnp.nan, sorted_quantile(xs, p))
+            proxy = (xb <= thr[None, None, :]).astype(xb.dtype)
+            proxy = jnp.where(jnp.isnan(thr)[None, None, :], jnp.nan, proxy)
             e, _ = _sharded_basic(
                 proxy, split_chains=split_chains, maxlag=maxlag, method=method,
                 relative=relative, chain_axis=chain_axis,
             )
             ess_parts.append(e)
         ess = jnp.minimum(*ess_parts)
-        folded = _global_transform(
-            xb, lambda f: rank_normalize(fold_around_median(f)), chain_axis
-        )
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        zf = rank_normalize_folded_sorted(xs, order, med).reshape(full.shape)
+        folded = _my_chain_slice(zf, c_loc, chain_axis)
         rhat = _sharded_rhat_basic(folded, split_chains=split_chains,
                                    chain_axis=chain_axis)
         return ess, rhat
     if kind == "rank":
-        y = _global_transform(xb, rank_normalize, chain_axis)
+        y, folded = _global_rank_pair(xb, chain_axis)
         ess_bulk, rhat_bulk = _sharded_basic(
             y, split_chains=split_chains, maxlag=maxlag, method=method,
             relative=relative, chain_axis=chain_axis,
-        )
-        folded = _global_transform(
-            xb, lambda f: rank_normalize(fold_around_median(f)), chain_axis
         )
         rhat_tail = _sharded_rhat_basic(folded, split_chains=split_chains,
                                         chain_axis=chain_axis)
@@ -255,13 +279,9 @@ def rhat_nested_sharded(
             return _nested_basic_local(xb, nsuper_local, split_chains,
                                        cfg.chain_axis)
         if kind == "rank":
-            zb = _global_transform(xb, rank_normalize, cfg.chain_axis)
+            zb, zt = _global_rank_pair(xb, cfg.chain_axis)
             bulk = _nested_basic_local(zb, nsuper_local, split_chains,
                                        cfg.chain_axis)
-            zt = _global_transform(
-                xb, lambda f: rank_normalize(fold_around_median(f)),
-                cfg.chain_axis,
-            )
             tail = _nested_basic_local(zt, nsuper_local, split_chains,
                                        cfg.chain_axis)
             return jnp.maximum(bulk, tail)
