@@ -64,8 +64,12 @@ def tiedrank(xf, *, staged: bool = False):
     return _tiedrank_sorted(xs, order, staged)
 
 
-def _tiedrank_sorted(xs, order, staged: bool = False):
-    """Ranks in original positions from a presorted (values, permutation) pair."""
+def _avg_ranks_sorted(xs):
+    """Tied ("average") 1-based ranks of presorted values, in SORTED order.
+
+    Equal-value runs get the mean of their positions: start/end of each run
+    via cummax/cummin over run-boundary markers — no segment loop.
+    """
     n = xs.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
     neq_prev = xs[1:] != xs[:-1]
@@ -77,7 +81,12 @@ def _tiedrank_sorted(xs, order, staged: bool = False):
     )
     start = jax.lax.cummax(jnp.where(first_of_group, idx, 0), axis=0)
     end = jax.lax.cummin(jnp.where(last_of_group, idx, n - 1), axis=0, reverse=True)
-    avg_rank_sorted = (start + end).astype(xs.dtype) * 0.5 + 1.0
+    return (start + end).astype(xs.dtype) * 0.5 + 1.0
+
+
+def _tiedrank_sorted(xs, order, staged: bool = False):
+    """Ranks in original positions from a presorted (values, permutation) pair."""
+    avg_rank_sorted = _avg_ranks_sorted(xs)
     _, ranks = _sort_pair(order, avg_rank_sorted, staged)
     return ranks
 
@@ -125,18 +134,21 @@ def rank_normalize_folded_sorted(xs, order, med, *, staged: bool = False):
     """Rank-normalize ``|x - med|`` reusing the (xs, order) sort of ``x``.
 
     ``xs``/``order``: ascending values and the original-position permutation
-    from the bulk transform's sort; ``med``: (P,) per-column median. The
-    folded values in xs-order are a valley, so sorting them costs one bitonic
-    merge instead of a full sort. Returns the rank-normalized folded sample
-    in ORIGINAL row order, shape of ``xs`` — numerically identical to
-    ``rank_normalize(|x - med|)``.
+    from the bulk transform's sort; ``med``: (P,) per-column median. Returns
+    the rank-normalized folded sample in ORIGINAL row order, shape of ``xs``
+    — numerically identical to ``rank_normalize(|x - med|)``.
+
+    Although the folded values form a valley in xs-order (sortable by one
+    bitonic merge), the XLA-level merge costs ~2.4x a full ``lax.sort`` on
+    TPU (its 21 stages don't fuse; PERF.md), so this uses a plain payload
+    sort. The payload is ``order`` so the inverse sort lands directly in
+    original row order (one inverse, not two).
     """
     n = xs.shape[0]
     folded = jnp.abs(xs - med[None, :])
-    fs, forder = bitonic_merge_valley(folded, order)
-    ranks = _tiedrank_sorted(fs, forder, staged)
-    q = (ranks - 0.375) / (n + 0.25)
-    z = ndtri(q)
+    fs, forder = _sort_pair(folded, order, staged)
+    ranks_sorted = _avg_ranks_sorted(fs)
+    _, z = _sort_pair(forder, ndtri((ranks_sorted - 0.375) / (n + 0.25)), staged)
     bad = _has_nan_cols(xs)[None, :]
     return jnp.where(bad, jnp.nan, z)
 
@@ -192,21 +204,29 @@ def rank_bulk_tail_transforms(x3, *, staged: bool = False):
 
     ``z_bulk`` = rank-normalized ``x`` and ``z_tail`` = rank-normalized
     ``|x - median|`` — the two inputs of the ``:rank`` kind
-    (src/ess_rhat.jl:604-624) — from ONE payload sort plus one bitonic merge
-    (the folded values are a valley in x-sorted order) plus the two
-    unavoidable inverse-permutation sorts. Saves a full O(N log^2 N) sort vs
-    transforming independently; numerically identical.
+    (src/ess_rhat.jl:604-624) — sharing one key sort: the median and the bulk
+    ranks are read off the sorted values, and the fold transform reuses the
+    (values, positions) pair.
+
+    Measured on the target chip (PERF.md): one XLA 2-operand sort of the
+    flattened sample costs ~192 ms while the XLA-level 21-stage bitonic
+    valley merge costs ~465 ms (the stages do not fuse — each is a full HBM
+    round trip), so the fastest formulation is FOUR plain sorts and no merge:
+    the key sort, its inverse, the folded-value sort, and its inverse. The
+    median is read off the first sort for free. Numerically identical to
+    transforming independently.
     """
     d, c, p = x3.shape
     with jax.named_scope("mdt.rank_sort"):
         xs, order, bad = sort_with_positions(x3, staged=staged)
-        r = _tiedrank_sorted(xs, order, staged)
     n = xs.shape[0]
-    z = ndtri((r - 0.375) / (n + 0.25))
-    z = jnp.where(bad[None, :], jnp.nan, z)
+    zb_sorted = ndtri((_avg_ranks_sorted(xs) - 0.375) / (n + 0.25))
     med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-    with jax.named_scope("mdt.fold_merge"):
+    with jax.named_scope("mdt.rank_inverse"):
+        _, zb = _sort_pair(order, zb_sorted, staged)
+    with jax.named_scope("mdt.fold_sort"):
         zf = rank_normalize_folded_sorted(xs, order, med, staged=staged)
+    z = jnp.where(bad[None, :], jnp.nan, zb)
     return z.reshape(d, c, p), zf.reshape(d, c, p), med
 
 
