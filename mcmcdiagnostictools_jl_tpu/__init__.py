@@ -36,6 +36,7 @@ from .diagnostics.ess_rhat import (
     BDAAutocovMethod,
     FFTAutocovMethod,
     PallasAutocovMethod,
+    FusedAutocovMethod,
     Quantile,
     ess,
     ess_rhat,
@@ -63,6 +64,7 @@ __all__ = [
     "FFTAutocovMethod",
     "BDAAutocovMethod",
     "PallasAutocovMethod",
+    "FusedAutocovMethod",
     "Quantile",
     "gelmandiag",
     "gelmandiag_multivariate",

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..ops.autocov import mean_autocov_curve
 from ..ops.geyer import geyer_ess_from_rho
-from ..ops.moments import chain_stats
+from ..ops.moments import chain_stats, fused_chain_stats_autocov
 from ..ops.ranknorm import (
     batched_median,
     batched_quantile,
@@ -98,6 +98,22 @@ class PallasAutocovMethod:
 
 
 @dataclass(frozen=True)
+class FusedAutocovMethod:
+    """Direct Geyer estimator via the fused Pallas kernel that also computes
+    the chain moments and degeneracy flags in the same HBM pass
+    (ops/pallas/fused_basic_kernel.py). Numerically the AutocovMethod
+    estimator — the reference's default (src/ess_rhat.jl:161-179). Selected
+    automatically on TPU by ``autocov_method="auto"``. ``interpret=True``
+    runs on CPU for testing."""
+
+    interpret: bool = False
+
+    @property
+    def name(self) -> str:
+        return "fused_interpret" if self.interpret else "fused"
+
+
+@dataclass(frozen=True)
 class Quantile:
     """Estimator marker for quantile-ESS / quantile-MCSE, the analogue of the
     reference's ``Base.Fix2(Statistics.quantile, p)``."""
@@ -117,9 +133,21 @@ _RHAT_KINDS = ("rank", "bulk", "tail", "basic")
 def _method_name(autocov_method):
     if isinstance(
         autocov_method,
-        (AutocovMethod, FFTAutocovMethod, BDAAutocovMethod, PallasAutocovMethod),
+        (
+            AutocovMethod,
+            FFTAutocovMethod,
+            BDAAutocovMethod,
+            PallasAutocovMethod,
+            FusedAutocovMethod,
+        ),
     ):
         return autocov_method.name
+    if autocov_method == "auto":
+        # TPU: the fused single-pass Pallas kernel computing the reference's
+        # default direct estimator; elsewhere: batched rFFT (pure XLA).
+        import jax
+
+        return "fused" if jax.default_backend() == "tpu" else "fft"
     if isinstance(autocov_method, str) or callable(autocov_method):
         return autocov_method
     raise TypeError(f"unsupported autocov_method: {autocov_method!r}")
@@ -168,14 +196,21 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     Mirrors the reference hot loop `_ess_rhat_basic!` (src/ess_rhat.jl:488-602)
     with the per-parameter loop replaced by the parameter axis of every kernel.
     """
-    with jax.named_scope("mdt.split_moments"):
-        samples = split_chains_reshape(x3, split_chains)
-        niter, nchains, _ = samples.shape
-        ntotal = niter * nchains
-        stats = chain_stats(samples)
-        centered = samples - stats.chain_mean[None]
-    with jax.named_scope("mdt.autocov"):
-        acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)
+    samples = split_chains_reshape(x3, split_chains)
+    niter, nchains, _ = samples.shape
+    ntotal = niter * nchains
+    if method in ("fused", "fused_interpret"):
+        # moments + centering + degeneracy + direct autocov in ONE HBM pass
+        with jax.named_scope("mdt.fused_moments_autocov"):
+            stats, acov = fused_chain_stats_autocov(
+                samples, maxlag, interpret=(method == "fused_interpret")
+            )
+    else:
+        with jax.named_scope("mdt.split_moments"):
+            stats = chain_stats(samples)
+            centered = samples - stats.chain_mean[None]
+        with jax.named_scope("mdt.autocov"):
+            acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)
     with jax.named_scope("mdt.geyer"):
         inv_var_plus = 1.0 / stats.var_plus
         rho = 1.0 - (stats.w[None] - acov) * inv_var_plus[None]
@@ -328,7 +363,7 @@ def ess(
     *,
     kind="bulk",
     relative: bool = False,
-    autocov_method=FFTAutocovMethod(),
+    autocov_method="auto",
     split_chains: int = 2,
     maxlag: int = 250,
     tail_prob: float = 0.1,
@@ -393,7 +428,7 @@ def ess_rhat(
     *,
     kind: str = "rank",
     relative: bool = False,
-    autocov_method=FFTAutocovMethod(),
+    autocov_method="auto",
     split_chains: int = 2,
     maxlag: int = 250,
     tail_prob: float = 0.1,
@@ -439,7 +474,7 @@ def ess_rhat(
 
 # internal helper shared with mcse
 def _ess_array(x3, estimator, q, *, split_chains=2, maxlag=250, relative=False,
-               autocov_method=FFTAutocovMethod()):
+               autocov_method="auto"):
     """ESS of an estimator on canonical (draws, chains, P); returns (P,)."""
     niter = _niter_after_split(x3.shape[0], split_chains)
     if niter <= 4:
