@@ -70,7 +70,9 @@ class AutocovMethod:
 
 @dataclass(frozen=True)
 class FFTAutocovMethod:
-    """Batched real-FFT autocovariance estimator — the TPU default
+    """Batched real-FFT autocovariance estimator — the default on non-TPU
+    backends and the long-chain fallback on TPU (``autocov_method="auto"``
+    picks the fused Pallas kernel on TPU when it fits VMEM)
     (reference src/ess_rhat.jl:40-55,103-118,181-195)."""
 
     name: str = "fft"
@@ -130,7 +132,39 @@ _ESTIMATOR_KINDS = ("mean", "median", "std", "mad")
 _RHAT_KINDS = ("rank", "bulk", "tail", "basic")
 
 
-def _method_name(autocov_method):
+# Fused Pallas kernel VMEM footprint: one (niter, 128) input block plus a
+# (niter + maxlag, 128) scratch must fit comfortably in ~16 MB of VMEM.
+_FUSED_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _auto_method(x3=None, niter=None, maxlag: int = 250) -> str:
+    """Resolve ``autocov_method="auto"`` from where the computation will run.
+
+    Uses the committed device of the input array (NOT ``jax.default_backend()``
+    — a pinned ``jax_default_device`` would otherwise be ignored and the fused
+    TPU kernel selected on a CPU computation). On TPU the fused single-pass
+    Pallas kernel computes the reference's default direct estimator
+    (src/ess_rhat.jl:161-179) unless its VMEM working set would overflow, in
+    which case (and everywhere else) the batched rFFT path is used.
+    """
+    platform = None
+    if x3 is not None:
+        try:
+            platform = next(iter(x3.devices())).platform
+        except Exception:
+            platform = None  # tracer or non-jax input
+    if platform is None:
+        platform = jax.default_backend()
+    if platform != "tpu":
+        return "fft"
+    if x3 is not None and niter is not None:
+        itemsize = jnp.dtype(x3.dtype).itemsize
+        if (2 * niter + maxlag) * 128 * itemsize > _FUSED_VMEM_BUDGET_BYTES:
+            return "fft"
+    return "fused"
+
+
+def _method_name(autocov_method, x3=None, niter=None, maxlag: int = 250):
     if isinstance(
         autocov_method,
         (
@@ -143,11 +177,7 @@ def _method_name(autocov_method):
     ):
         return autocov_method.name
     if autocov_method == "auto":
-        # TPU: the fused single-pass Pallas kernel computing the reference's
-        # default direct estimator; elsewhere: batched rFFT (pure XLA).
-        import jax
-
-        return "fused" if jax.default_backend() == "tpu" else "fft"
+        return _auto_method(x3, niter, maxlag)
     if isinstance(autocov_method, str) or callable(autocov_method):
         return autocov_method
     raise TypeError(f"unsupported autocov_method: {autocov_method!r}")
@@ -395,7 +425,7 @@ def ess(
         kind=pipeline_kind,
         split_chains=split_chains,
         maxlag=eff_maxlag,
-        method=_method_name(autocov_method),
+        method=_method_name(autocov_method, x3, niter, eff_maxlag),
         relative=relative,
         q=q,
         param_chunk=param_chunk,
@@ -462,7 +492,7 @@ def ess_rhat(
         kind=kind,
         split_chains=split_chains,
         maxlag=eff_maxlag,
-        method=_method_name(autocov_method),
+        method=_method_name(autocov_method, x3, niter, eff_maxlag),
         relative=relative,
         q=q,
         param_chunk=param_chunk,
@@ -483,6 +513,7 @@ def _ess_array(x3, estimator, q, *, split_chains=2, maxlag=250, relative=False,
     eff_maxlag = min(maxlag, niter - 4)
     ess_vals, _ = _ess_rhat_pipeline(
         x3, kind=estimator, split_chains=split_chains, maxlag=eff_maxlag,
-        method=_method_name(autocov_method), relative=relative, q=q,
+        method=_method_name(autocov_method, x3, niter, eff_maxlag),
+        relative=relative, q=q,
     )
     return ess_vals

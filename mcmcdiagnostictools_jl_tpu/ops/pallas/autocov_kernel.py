@@ -13,8 +13,10 @@ zeros (making every lag's dot product full-length against zeros — no
 variable-length slices) and pads series to a lane multiple.
 
 This computes the exact ``AutocovMethod`` estimator (reference
-src/ess_rhat.jl:161-179); it agrees with the FFT method to float tolerance
-and is the TPU fast path selected by ``method="auto"``.
+src/ess_rhat.jl:161-179); it agrees with the FFT method to float tolerance.
+``method="auto"`` on TPU selects the *fused* variant of this kernel
+(fused_basic_kernel.py, which also folds in the chain moments); this unfused
+kernel is the explicit ``method="pallas"`` path and the sharded default.
 """
 
 from __future__ import annotations

@@ -109,7 +109,7 @@ def pallas_moments_autocov(samples, maxlag: int, *, interpret: bool = False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * niter * (maxlag + 5) * total,
-            bytes_accessed=niter * total * 4 + (maxlag + 5) * total * 4,
+            bytes_accessed=(niter + maxlag + 5) * total * jnp.dtype(dt).itemsize,
             transcendentals=0,
         ),
     )(x)

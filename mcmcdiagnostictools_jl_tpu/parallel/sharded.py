@@ -195,7 +195,7 @@ def ess_rhat_sharded(
     kind: str = "rank",
     split_chains: int = 2,
     maxlag: int = 250,
-    autocov_method="fft",
+    autocov_method="auto",
     relative: bool = False,
     tail_prob: float = 0.1,
 ):
@@ -214,13 +214,20 @@ def ess_rhat_sharded(
     x3 = shard_canonical(x3, cfg)
     q = tail_prob if kind == "tail" else None
 
+    # Resolve "auto" against the mesh's devices; the fused kernel computes
+    # moments the sharded path derives with collectives, so map it to the
+    # plain Pallas direct-autocov kernel (TPU) / FFT (interpret) here.
+    method = _method_name(autocov_method, x3, niter, eff_maxlag)
+    if method in ("fused", "fused_interpret"):
+        method = "pallas" if method == "fused" else "fft"
+
     fn = shard_map(
         partial(
             _sharded_kernel,
             kind=kind,
             split_chains=split_chains,
             maxlag=eff_maxlag,
-            method=_method_name(autocov_method),
+            method=method,
             relative=relative,
             q=q,
             chain_axis=cfg.chain_axis,
