@@ -191,7 +191,7 @@ def ess_rhat_basic(
     chains: np.ndarray,
     *,
     relative: bool = False,
-    autocov_method: str = "fft",
+    autocov_method: str = "direct",  # reference default, src/ess_rhat.jl:493
     split_chains: int = 2,
     maxlag: int = 250,
 ):
@@ -242,6 +242,11 @@ def ess_rhat_basic(
         rho_even = (
             1 - inv_var_plus * (W - cache.mean_autocov(k)) if maxlag > 1 else 0.0
         )
+        if np.isnan(sum_p) or np.isnan(rho_even):
+            # Julia's max/min propagate NaN (Python's builtins don't):
+            # tau = max(0, NaN) = NaN, ess = min(inv(NaN), cap) = NaN
+            ess[i] = np.nan
+            continue
         tau = max(0.0, 2 * sum_p + max(0.0, rho_even) - 1)  # l.591
         with np.errstate(divide="ignore"):
             ess[i] = min(1.0 / tau, rel_ess_max) if tau > 0 else rel_ess_max  # l.594
@@ -505,16 +510,14 @@ def generate():
         c[f"ess_basic_{method}"] = e.tolist()
         c[f"rhat_basic_{method}"] = r.tolist()
     for kind in ("rank", "bulk", "tail", "basic"):
-        e, r = ess_rhat(xa, kind, autocov_method="fft")
+        e, r = ess_rhat(xa, kind)
         c[f"ess_rhat_{kind}_ess"] = e.tolist()
         c[f"ess_rhat_{kind}_rhat"] = r.tolist()
         c[f"rhat_{kind}"] = rhat(xa, kind).tolist()
     for kind in ("mean", "median", "std", "mad"):
-        c[f"ess_{kind}"] = ess(xa, kind, autocov_method="fft").tolist()
-    c["ess_quantile_0.25"] = ess(xa, "quantile", q=0.25,
-                                 autocov_method="fft").tolist()
-    c["ess_tail_relative"] = ess(xa, "tail", relative=True,
-                                 autocov_method="fft").tolist()
+        c[f"ess_{kind}"] = ess(xa, kind).tolist()
+    c["ess_quantile_0.25"] = ess(xa, "quantile", q=0.25).tolist()
+    c["ess_tail_relative"] = ess(xa, "tail", relative=True).tolist()
     c["mcse_mean"] = mcse(xa, "mean").tolist()
     c["mcse_std"] = mcse(xa, "std").tolist()
     c["mcse_median"] = mcse(xa, "median").tolist()
@@ -527,7 +530,7 @@ def generate():
     cases["ar1_1001x3x5"] = {"x": xb.tolist()}
     c = cases["ar1_1001x3x5"]
     for kind in ("rank", "bulk", "tail", "basic"):
-        e, r = ess_rhat(xb, kind, autocov_method="fft")
+        e, r = ess_rhat(xb, kind)
         c[f"ess_rhat_{kind}_ess"] = e.tolist()
         c[f"ess_rhat_{kind}_rhat"] = r.tolist()
     c["ess_basic_direct"] = ess_rhat_basic(xb, autocov_method="direct")[0].tolist()
@@ -543,7 +546,7 @@ def generate():
     cases["scalemix_600x4x3"] = {"x": xc.tolist()}
     c = cases["scalemix_600x4x3"]
     for kind in ("rank", "bulk", "tail"):
-        e, r = ess_rhat(xc, kind, autocov_method="fft")
+        e, r = ess_rhat(xc, kind)
         c[f"ess_rhat_{kind}_ess"] = e.tolist()
         c[f"ess_rhat_{kind}_rhat"] = r.tolist()
 
@@ -565,7 +568,7 @@ def generate():
     xe = rng.standard_normal((11, 2))
     cases["small_11x2"] = {"x": xe.tolist()}
     c = cases["small_11x2"]
-    e, r = ess_rhat(xe, "rank", autocov_method="fft")
+    e, r = ess_rhat(xe, "rank")
     c["ess_rhat_rank_ess"] = e.tolist()
     c["ess_rhat_rank_rhat"] = r.tolist()
     e, r = ess_rhat_basic(xe, autocov_method="direct")
