@@ -44,12 +44,13 @@ from ..ops.ranknorm import (
     batched_median,
     batched_quantile,
     fold_around_median,
-    rank_bulk_tail_transforms,
+    folded_rank_values_sorted,
     rank_normalize,
-    rank_normalize_folded_sorted,
+    rank_normalize_from_sort,
     sort_with_positions,
     sorted_quantile,
 )
+from ..ops.seghist import split_chain_stats_from_sorted
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
 from .. import _config
@@ -220,6 +221,22 @@ def _basic_rhat(x3, split_chains: int):
     return chain_stats(samples).rhat
 
 
+def _tail_rhat_from_sort(xs, order, med, bad, shape3, split_chains: int,
+                         staged: bool):
+    """Tail R-hat from the bulk transform's sort — no inverse sort.
+
+    The folded rank-normal sample's split-chain moments are order-free, so
+    they come straight off the fold sort via the weighted one-hot histogram
+    (ops/seghist.py) instead of routing values back to (draw, chain) order
+    with a fourth full payload sort. Numerically the R-hat of
+    ``rank_normalize(|x - median|)`` (reference src/ess_rhat.jl:413-415).
+    """
+    d, c, _ = shape3
+    zf_sorted, forder = folded_rank_values_sorted(xs, order, med, staged=staged)
+    stats = split_chain_stats_from_sorted(zf_sorted, forder, d, c, split_chains)
+    return jnp.where(bad, jnp.nan, stats.rhat)
+
+
 def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     """Split -> moments -> autocov curve -> rho -> Geyer. (niter, C, P) batched.
 
@@ -302,29 +319,35 @@ def _ess_rhat_pipeline(
         proxy = _expectand_proxy(kind, x3, q)
         return _basic_ess_rhat(proxy, split_chains, maxlag, method, relative)
     if kind == "tail":
-        # one shared payload sort: both quantile thresholds, the median, and
-        # the folded rank transform (bitonic merge) come from it
+        # one shared payload sort serves both quantile thresholds, the median,
+        # and the fold transform; the two indicator-proxy pipelines run
+        # stacked as one 2P-wide basic call (one autocov batch, not two)
         tail_prob = 0.1 if q is None else q
         xs, order, bad = sort_with_positions(x3, staged=staged_sort)
         t_lo = jnp.where(bad, jnp.nan, sorted_quantile(xs, tail_prob / 2))
         t_hi = jnp.where(bad, jnp.nan, sorted_quantile(xs, 1 - tail_prob / 2))
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-        ess_lo, _ = _basic_ess_rhat(
-            _indicator_leq(x3, t_lo), split_chains, maxlag, method, relative
+        nparams = x3.shape[2]
+        proxies = jnp.concatenate(
+            [_indicator_leq(x3, t_lo), _indicator_leq(x3, t_hi)], axis=2
         )
-        ess_hi, _ = _basic_ess_rhat(
-            _indicator_leq(x3, t_hi), split_chains, maxlag, method, relative
+        ess2, _ = _basic_ess_rhat(proxies, split_chains, maxlag, method,
+                                  relative)
+        ess = jnp.minimum(ess2[:nparams], ess2[nparams:])
+        rhat_tail = _tail_rhat_from_sort(
+            xs, order, med, bad, x3.shape, split_chains, staged_sort
         )
-        ess = jnp.minimum(ess_lo, ess_hi)
-        zf = rank_normalize_folded_sorted(
-            xs, order, med, staged=staged_sort
-        ).reshape(x3.shape)
-        return ess, _basic_rhat(zf, split_chains)
+        return ess, rhat_tail
     if kind == "rank":
-        z, zf, _ = rank_bulk_tail_transforms(x3, staged=staged_sort)
-        ess_bulk, rhat_bulk = _basic_ess_rhat(z, split_chains, maxlag, method,
-                                              relative)
-        rhat_tail = _basic_rhat(zf, split_chains)
+        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        z = rank_normalize_from_sort(xs, order, bad, staged=staged_sort)
+        ess_bulk, rhat_bulk = _basic_ess_rhat(
+            z.reshape(x3.shape), split_chains, maxlag, method, relative
+        )
+        rhat_tail = _tail_rhat_from_sort(
+            xs, order, med, bad, x3.shape, split_chains, staged_sort
+        )
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
@@ -338,14 +361,17 @@ def _rhat_pipeline(x3, *, kind: str, split_chains: int, staged_sort: bool = Fals
     if kind == "tail":
         xs, order, bad = sort_with_positions(x3, staged=staged_sort)
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-        zf = rank_normalize_folded_sorted(
-            xs, order, med, staged=staged_sort
-        ).reshape(x3.shape)
-        return _basic_rhat(zf, split_chains)
+        return _tail_rhat_from_sort(
+            xs, order, med, bad, x3.shape, split_chains, staged_sort
+        )
     if kind == "rank":
-        z, zf, _ = rank_bulk_tail_transforms(x3, staged=staged_sort)
-        bulk = _basic_rhat(z, split_chains)
-        tail = _basic_rhat(zf, split_chains)
+        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        z = rank_normalize_from_sort(xs, order, bad, staged=staged_sort)
+        bulk = _basic_rhat(z.reshape(x3.shape), split_chains)
+        tail = _tail_rhat_from_sort(
+            xs, order, med, bad, x3.shape, split_chains, staged_sort
+        )
         return jnp.maximum(tail, bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 

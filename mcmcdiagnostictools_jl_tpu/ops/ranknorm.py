@@ -153,6 +153,37 @@ def rank_normalize_folded_sorted(xs, order, med, *, staged: bool = False):
     return jnp.where(bad, jnp.nan, z)
 
 
+def folded_rank_values_sorted(xs, order, med, *, staged: bool = False):
+    """Rank-normalized folded values in FOLD-SORTED order, with positions.
+
+    ``xs``/``order``: the bulk transform's sort of ``x``; ``med``: (P,)
+    medians. Returns ``(zf_sorted, forder)`` — ``zf_sorted[j]`` is the
+    rank-normal transform of the j-th smallest ``|x - med|`` and ``forder[j]``
+    its original flat row. Same values as ``rank_normalize_folded_sorted``
+    but WITHOUT the inverse sort: callers that only need order-free
+    reductions of the folded transform (tail R-hat's split-chain moments,
+    ops/seghist.py) skip a full payload sort (~190 ms per 1.28M x 64 block,
+    PERF.md).
+    """
+    n = xs.shape[0]
+    folded = jnp.abs(xs - med[None, :])
+    fs, forder = _sort_pair(folded, order, staged)
+    zf_sorted = ndtri((_avg_ranks_sorted(fs) - 0.375) / (n + 0.25))
+    return zf_sorted, forder
+
+
+def rank_normalize_from_sort(xs, order, bad, *, staged: bool = False):
+    """Rank-normalize from a presorted (values, positions) pair.
+
+    Returns the flat (N, P) rank-normal sample in original row order — the
+    bulk transform given ``sort_with_positions`` output (one inverse sort).
+    """
+    n = xs.shape[0]
+    zb_sorted = ndtri((_avg_ranks_sorted(xs) - 0.375) / (n + 0.25))
+    _, zb = _sort_pair(order, zb_sorted, staged)
+    return jnp.where(bad[None, :], jnp.nan, zb)
+
+
 def rank_normalize(x3, *, staged: bool = False):
     """Rank-normalize each parameter slice over its joint (draw, chain) sample.
 

@@ -32,15 +32,15 @@ from ..diagnostics.ess_rhat import ESSRhat, _method_name
 from ..ops.autocov import mean_autocov_curve
 from ..ops.geyer import geyer_ess_from_rho
 from ..ops.ranknorm import (
-    fold_around_median,
-    rank_bulk_tail_transforms,
+    folded_rank_values_sorted,
     rank_normalize,
-    rank_normalize_folded_sorted,
+    rank_normalize_from_sort,
     sort_with_positions,
     sorted_quantile,
     batched_quantile,
     _has_nan_cols,
 )
+from ..ops.seghist import split_chain_stats_from_sorted
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
 from .mesh import MeshConfig, shard_canonical
@@ -101,11 +101,6 @@ def _sharded_basic(xb, *, split_chains, maxlag, method, relative, chain_axis):
     return ess, rhat
 
 
-def _sharded_rhat_basic(xb, *, split_chains, chain_axis):
-    samples = split_chains_reshape(xb, split_chains)
-    return _sharded_moments(samples, chain_axis)[5]
-
-
 def _global_transform(xb, transform, chain_axis: str):
     """Apply a global-sample transform via all_gather + slice-back."""
     c_loc = xb.shape[1]
@@ -113,20 +108,35 @@ def _global_transform(xb, transform, chain_axis: str):
     return _my_chain_slice(transform(full), c_loc, chain_axis)
 
 
-def _global_rank_pair(xb, chain_axis: str):
-    """Fused bulk/tail rank transforms from ONE all_gather + ONE payload sort.
+def _global_rank_parts(xb, chain_axis: str, split_chains: int = 2):
+    """One all_gather + one payload sort: the rank-kind ingredients.
 
-    Returns the local chain blocks of (rank_normalize(x),
-    rank_normalize(|x - median|)) — the shared-sort + bitonic-merge fusion of
-    ``rank_bulk_tail_transforms`` applied to the gathered global sample.
+    Returns ``(z_local, tail_rhat, bad)`` — the local chain block of
+    ``rank_normalize(x)`` plus the tail R-hat. The tail side never routes
+    values back to (draw, chain) order: the folded rank-normal split-chain
+    moments come off the fold sort via the weighted one-hot histogram
+    (ops/seghist.py), computed identically on every chain shard from the
+    replicated gathered sample (zero extra collectives).
     """
     c_loc = xb.shape[1]
     full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
-    z, zf, _ = rank_bulk_tail_transforms(full)
-    return (
-        _my_chain_slice(z, c_loc, chain_axis),
-        _my_chain_slice(zf, c_loc, chain_axis),
-    )
+    xs, order, bad = sort_with_positions(full)
+    med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+    z = rank_normalize_from_sort(xs, order, bad).reshape(full.shape)
+    tail_rhat = _tail_rhat_full(xs, order, med, bad, full.shape, split_chains,
+                                chain_axis)
+    return _my_chain_slice(z, c_loc, chain_axis), tail_rhat, bad
+
+
+def _tail_rhat_full(xs, order, med, bad, full_shape, split_chains, chain_axis):
+    d, c, _ = full_shape
+    zf_sorted, forder = folded_rank_values_sorted(xs, order, med)
+    stats = split_chain_stats_from_sorted(zf_sorted, forder, d, c, split_chains)
+    rhat = jnp.where(bad, jnp.nan, stats.rhat)
+    # computed identically on every chain shard from the gathered sample; the
+    # pmax is a replication certificate for shard_map's out_spec check, not a
+    # reduction (all operands are bitwise equal)
+    return jax.lax.pmax(rhat, chain_axis)
 
 
 def _sharded_quantile_proxy(xb, q, chain_axis: str):
@@ -154,36 +164,37 @@ def _sharded_kernel(
         )
     if kind == "tail":
         # one all_gather + one payload sort serves both quantile thresholds
-        # and the folded rank transform (bitonic merge)
+        # and the folded rank transform; the two indicator proxies run as one
+        # stacked 2P-wide basic pipeline (one autocov psum, not two)
         tail_prob = 0.1 if q is None else q
-        c_loc = xb.shape[1]
+        nparams = xb.shape[2]
         full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
         xs, order, bad = sort_with_positions(full)
-        ess_parts = []
+        proxies = []
         for p in (tail_prob / 2, 1 - tail_prob / 2):
             thr = jnp.where(bad, jnp.nan, sorted_quantile(xs, p))
             proxy = (xb <= thr[None, None, :]).astype(xb.dtype)
-            proxy = jnp.where(jnp.isnan(thr)[None, None, :], jnp.nan, proxy)
-            e, _ = _sharded_basic(
-                proxy, split_chains=split_chains, maxlag=maxlag, method=method,
-                relative=relative, chain_axis=chain_axis,
+            proxies.append(
+                jnp.where(jnp.isnan(thr)[None, None, :], jnp.nan, proxy)
             )
-            ess_parts.append(e)
-        ess = jnp.minimum(*ess_parts)
+        ess2, _ = _sharded_basic(
+            jnp.concatenate(proxies, axis=2), split_chains=split_chains,
+            maxlag=maxlag, method=method, relative=relative,
+            chain_axis=chain_axis,
+        )
+        ess = jnp.minimum(ess2[:nparams], ess2[nparams:])
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-        zf = rank_normalize_folded_sorted(xs, order, med).reshape(full.shape)
-        folded = _my_chain_slice(zf, c_loc, chain_axis)
-        rhat = _sharded_rhat_basic(folded, split_chains=split_chains,
-                                   chain_axis=chain_axis)
+        rhat = _tail_rhat_full(xs, order, med, bad, full.shape, split_chains,
+                               chain_axis)
         return ess, rhat
     if kind == "rank":
-        y, folded = _global_rank_pair(xb, chain_axis)
+        y, rhat_tail, _ = _global_rank_parts(
+            xb, chain_axis, split_chains=split_chains
+        )
         ess_bulk, rhat_bulk = _sharded_basic(
             y, split_chains=split_chains, maxlag=maxlag, method=method,
             relative=relative, chain_axis=chain_axis,
         )
-        rhat_tail = _sharded_rhat_basic(folded, split_chains=split_chains,
-                                        chain_axis=chain_axis)
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
@@ -259,7 +270,6 @@ def rhat_nested_sharded(
     import numpy as np
 
     from ..diagnostics.rhat_nested import _validate_superchain_ids
-    from ..ops.ranknorm import fold_around_median, rank_normalize
 
     x3, pshape = canonicalize(samples)
     perm, nsuper = _validate_superchain_ids(superchain_ids, x3.shape[1])
@@ -274,26 +284,43 @@ def rhat_nested_sharded(
     nsuper_local = nsuper // kshards
 
     def kernel(xb):
-        if kind == "bulk":
-            xb = _global_transform(xb, rank_normalize, cfg.chain_axis)
+        # The rank-transformed kinds are pure moment statistics (no autocov),
+        # so neither transform is ever routed back to (draw, chain) order:
+        # both the bulk and folded split-chain moments come off ONE payload
+        # sort of the gathered sample via the weighted one-hot histogram,
+        # computed identically on every chain shard (zero extra collectives).
+        if kind == "basic":
             return _nested_basic_local(xb, nsuper_local, split_chains,
                                        cfg.chain_axis)
-        if kind == "tail":
-            xb = _global_transform(
-                xb, lambda f: rank_normalize(fold_around_median(f)),
-                cfg.chain_axis,
+        full = jax.lax.all_gather(xb, cfg.chain_axis, axis=1, tiled=True)
+        xs, order, bad = sort_with_positions(full)
+        d, c = full.shape[0], full.shape[1]
+
+        def nested_from(values_sorted, positions):
+            stats = split_chain_stats_from_sorted(
+                values_sorted, positions, d, c, split_chains
             )
-            return _nested_basic_local(xb, nsuper_local, split_chains,
-                                       cfg.chain_axis)
-        if kind == "rank":
-            zb, zt = _global_rank_pair(xb, cfg.chain_axis)
-            bulk = _nested_basic_local(zb, nsuper_local, split_chains,
-                                       cfg.chain_axis)
-            tail = _nested_basic_local(zt, nsuper_local, split_chains,
-                                       cfg.chain_axis)
-            return jnp.maximum(bulk, tail)
-        return _nested_basic_local(xb, nsuper_local, split_chains,
-                                   cfg.chain_axis)
+            r = _nested_rhat_from_chain_moments(
+                stats.chain_mean, stats.chain_var, nsuper, stats.degenerate
+            )
+            # replication certificate (identical on every chain shard)
+            return jax.lax.pmax(jnp.where(bad, jnp.nan, r), cfg.chain_axis)
+
+        if kind in ("bulk", "rank"):
+            from ..ops.ranknorm import _avg_ranks_sorted
+            from jax.scipy.special import ndtri
+
+            n = xs.shape[0]
+            zb_sorted = ndtri((_avg_ranks_sorted(xs) - 0.375) / (n + 0.25))
+            bulk = nested_from(zb_sorted, order)
+            if kind == "bulk":
+                return bulk
+        med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
+        zf_sorted, forder = folded_rank_values_sorted(xs, order, med)
+        tail = nested_from(zf_sorted, forder)
+        if kind == "tail":
+            return tail
+        return jnp.maximum(bulk, tail)
 
     fn = shard_map(
         kernel,
@@ -305,6 +332,34 @@ def rhat_nested_sharded(
     from ..utils.layout import maybe_scalar as _ms
 
     return _ms(vals, pshape)
+
+
+def _nested_rhat_from_chain_moments(chain_mean, chain_var, nsuper: int,
+                                    degenerate):
+    """Nested R-hat from global per-split-chain moments (replicated compute).
+
+    ``chain_mean``/``chain_var``: (C_total_split, P) in chain-major order with
+    superchains contiguous (the host-side permutation in
+    ``rhat_nested_sharded``); the two-level B/W reduction of
+    src/rhat_nested.jl:144-185 then needs no collectives at all.
+    """
+    ctot, nparams = chain_mean.shape
+    m = ctot // nsuper
+    cm = chain_mean.reshape(nsuper, m, nparams)
+    cv = chain_var.reshape(nsuper, m, nparams)
+    wk = jnp.mean(cv, axis=1)  # (S, P)
+    sm = jnp.mean(cm, axis=1)  # (S, P) superchain means
+    if m > 1:
+        dm = cm - sm[:, None]
+        bk = jnp.sum(dm * dm, axis=1) / (m - 1)
+    else:
+        bk = jnp.zeros_like(wk)
+    var_within = jnp.mean(wk + bk, axis=0)
+    grand = jnp.mean(sm, axis=0)
+    ds_ = sm - grand[None]
+    var_between = jnp.sum(ds_ * ds_, axis=0) / (nsuper - 1)
+    var_between = jnp.where(degenerate, jnp.nan, var_between)
+    return jnp.sqrt(1.0 + var_between / var_within)
 
 
 def _nested_basic_local(xb, nsuper_local: int, split_chains: int,
