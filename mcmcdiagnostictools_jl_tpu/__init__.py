@@ -29,7 +29,6 @@ Differences from the reference, by design:
   and BDA estimators are provided for parity and agree to float tolerance.
 """
 
-from . import _config as config
 from .diagnostics.bfmi import bfmi
 from .diagnostics.ess_rhat import (
     AutocovMethod,

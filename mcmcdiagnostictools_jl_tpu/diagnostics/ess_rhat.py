@@ -53,7 +53,6 @@ from ..ops.ranknorm import (
 from ..ops.seghist import split_chain_stats_from_sorted
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
-from .. import _config
 
 
 class ESSRhat(NamedTuple):
@@ -221,8 +220,7 @@ def _basic_rhat(x3, split_chains: int):
     return chain_stats(samples).rhat
 
 
-def _tail_rhat_from_sort(xs, order, med, bad, shape3, split_chains: int,
-                         staged: bool):
+def _tail_rhat_from_sort(xs, order, med, bad, shape3, split_chains: int):
     """Tail R-hat from the bulk transform's sort — no inverse sort.
 
     The folded rank-normal sample's split-chain moments are order-free, so
@@ -232,7 +230,7 @@ def _tail_rhat_from_sort(xs, order, med, bad, shape3, split_chains: int,
     ``rank_normalize(|x - median|)`` (reference src/ess_rhat.jl:413-415).
     """
     d, c, _ = shape3
-    zf_sorted, forder = folded_rank_values_sorted(xs, order, med, staged=staged)
+    zf_sorted, forder = folded_rank_values_sorted(xs, order, med)
     stats = split_chain_stats_from_sorted(zf_sorted, forder, d, c, split_chains)
     return jnp.where(bad, jnp.nan, stats.rhat)
 
@@ -274,13 +272,12 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     jax.jit,
     static_argnames=(
         "kind", "split_chains", "maxlag", "method", "relative", "q",
-        "param_chunk", "staged_sort",
+        "param_chunk",
     ),
 )
 def _ess_rhat_pipeline(
     x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
     q: float | None = None, param_chunk: int | None = None,
-    staged_sort: bool = False,
 ):
     """Full ess/rhat pipeline for one symbolic or estimator kind.
 
@@ -303,7 +300,7 @@ def _ess_rhat_pipeline(
         def one_chunk(xc):
             return _ess_rhat_pipeline(
                 xc, kind=kind, split_chains=split_chains, maxlag=maxlag,
-                method=method, relative=relative, q=q, staged_sort=staged_sort,
+                method=method, relative=relative, q=q,
             )
 
         ess_c, rhat_c = jax.lax.map(one_chunk, chunks)
@@ -312,7 +309,7 @@ def _ess_rhat_pipeline(
         return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
     if kind == "bulk":
         return _basic_ess_rhat(
-            rank_normalize(x3, staged=staged_sort), split_chains, maxlag,
+            rank_normalize(x3), split_chains, maxlag,
             method, relative,
         )
     if kind in ("mean", "median", "std", "mad", "quantile"):
@@ -323,7 +320,7 @@ def _ess_rhat_pipeline(
         # and the fold transform; the two indicator-proxy pipelines run
         # stacked as one 2P-wide basic call (one autocov batch, not two)
         tail_prob = 0.1 if q is None else q
-        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        xs, order, bad = sort_with_positions(x3)
         t_lo = jnp.where(bad, jnp.nan, sorted_quantile(xs, tail_prob / 2))
         t_hi = jnp.where(bad, jnp.nan, sorted_quantile(xs, 1 - tail_prob / 2))
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
@@ -335,42 +332,42 @@ def _ess_rhat_pipeline(
                                   relative)
         ess = jnp.minimum(ess2[:nparams], ess2[nparams:])
         rhat_tail = _tail_rhat_from_sort(
-            xs, order, med, bad, x3.shape, split_chains, staged_sort
+            xs, order, med, bad, x3.shape, split_chains
         )
         return ess, rhat_tail
     if kind == "rank":
-        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        xs, order, bad = sort_with_positions(x3)
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-        z = rank_normalize_from_sort(xs, order, bad, staged=staged_sort)
+        z = rank_normalize_from_sort(xs, order, bad)
         ess_bulk, rhat_bulk = _basic_ess_rhat(
             z.reshape(x3.shape), split_chains, maxlag, method, relative
         )
         rhat_tail = _tail_rhat_from_sort(
-            xs, order, med, bad, x3.shape, split_chains, staged_sort
+            xs, order, med, bad, x3.shape, split_chains
         )
         return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
     raise ValueError(f"unsupported kind {kind!r}")
 
 
-@partial(jax.jit, static_argnames=("kind", "split_chains", "staged_sort"))
-def _rhat_pipeline(x3, *, kind: str, split_chains: int, staged_sort: bool = False):
+@partial(jax.jit, static_argnames=("kind", "split_chains"))
+def _rhat_pipeline(x3, *, kind: str, split_chains: int):
     if kind == "basic":
         return _basic_rhat(x3, split_chains)
     if kind == "bulk":
-        return _basic_rhat(rank_normalize(x3, staged=staged_sort), split_chains)
+        return _basic_rhat(rank_normalize(x3), split_chains)
     if kind == "tail":
-        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        xs, order, bad = sort_with_positions(x3)
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
         return _tail_rhat_from_sort(
-            xs, order, med, bad, x3.shape, split_chains, staged_sort
+            xs, order, med, bad, x3.shape, split_chains
         )
     if kind == "rank":
-        xs, order, bad = sort_with_positions(x3, staged=staged_sort)
+        xs, order, bad = sort_with_positions(x3)
         med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
-        z = rank_normalize_from_sort(xs, order, bad, staged=staged_sort)
+        z = rank_normalize_from_sort(xs, order, bad)
         bulk = _basic_rhat(z.reshape(x3.shape), split_chains)
         tail = _tail_rhat_from_sort(
-            xs, order, med, bad, x3.shape, split_chains, staged_sort
+            xs, order, med, bad, x3.shape, split_chains
         )
         return jnp.maximum(tail, bulk)
     raise ValueError(f"unsupported kind {kind!r}")
@@ -424,7 +421,6 @@ def ess(
     maxlag: int = 250,
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
-    staged_sort: bool | None = None,
 ):
     """Effective sample size of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
@@ -455,14 +451,11 @@ def ess(
         relative=relative,
         q=q,
         param_chunk=param_chunk,
-        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
-        else staged_sort,
     )
     return maybe_scalar(ess_vals, pshape)
 
 
-def rhat(samples, *, kind: str = "rank", split_chains: int = 2,
-         staged_sort: bool | None = None):
+def rhat(samples, *, kind: str = "rank", split_chains: int = 2):
     """R-hat of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
     Mirrors the reference ``rhat`` (src/ess_rhat.jl:313-420). ``kind`` is one
@@ -471,11 +464,7 @@ def rhat(samples, *, kind: str = "rank", split_chains: int = 2,
     if kind not in _RHAT_KINDS:
         raise ValueError(f"the `kind` `{kind}` is not supported by `rhat`")
     x3, pshape = canonicalize(samples)
-    vals = _rhat_pipeline(
-        x3, kind=kind, split_chains=split_chains,
-        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
-        else staged_sort,
-    )
+    vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
     return maybe_scalar(vals, pshape)
 
 
@@ -489,7 +478,6 @@ def ess_rhat(
     maxlag: int = 250,
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
-    staged_sort: bool | None = None,
 ):
     """Joint ESS and R-hat (more efficient than separate calls).
 
@@ -505,11 +493,7 @@ def ess_rhat(
     if niter <= 4:
         _warn_short(niter)
         ess_vals = jnp.full(x3.shape[2], jnp.nan, x3.dtype)
-        rhat_vals = _rhat_pipeline(
-            x3, kind=kind, split_chains=split_chains,
-            staged_sort=_config.pallas_sort_enabled() if staged_sort is None
-            else staged_sort,
-        )
+        rhat_vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains)
         return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
     eff_maxlag = min(maxlag, niter - 4)
     q = tail_prob if kind == "tail" else None
@@ -522,8 +506,6 @@ def ess_rhat(
         relative=relative,
         q=q,
         param_chunk=param_chunk,
-        staged_sort=_config.pallas_sort_enabled() if staged_sort is None
-        else staged_sort,
     )
     return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
 

@@ -23,17 +23,15 @@ import jax.numpy as jnp
 from jax.scipy.special import ndtri
 
 
-def _sort_pair(keys, payload, staged: bool):
-    """Ascending sort along axis 0 carrying a payload.
+def _sort_pair(keys, payload):
+    """Ascending unstable sort along axis 0 carrying a payload.
 
-    ``staged=True`` uses the Pallas VMEM-staged bitonic kernel (TPU fast
-    path); otherwise XLA's lax.sort. Both are unstable — safe here because
+    ``lax.sort`` (XLA's bitonic network) is already at this machine's HBM
+    roofline for a bitonic schedule (PERF.md "Machine roofline"); a
+    VMEM-staged Pallas sort was built, measured at 0.32x-1.06x, bounded at
+    ~1.5x by pass-count analysis, and deleted. Unstable is safe here because
     tied ranks are averaged and inverse-permutation keys are unique.
     """
-    if staged:
-        from .pallas.sort_kernel import staged_sort
-
-        return staged_sort(keys, payload)
     return jax.lax.sort((keys, payload), dimension=0, num_keys=1, is_stable=False)
 
 
@@ -48,7 +46,7 @@ def _has_nan_cols(xf):
     return jnp.any(jnp.isnan(xf), axis=0)
 
 
-def tiedrank(xf, *, staged: bool = False):
+def tiedrank(xf):
     """Tied ("average") 1-based ranks along axis 0 of ``xf`` with shape (N, P).
 
     Equal values receive the average of the ranks they would occupy. Matches
@@ -60,8 +58,8 @@ def tiedrank(xf, *, staged: bool = False):
     are averaged and the inverse-sort keys are a permutation (unique).
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-    xs, order = _sort_pair(xf, iota, staged)
-    return _tiedrank_sorted(xs, order, staged)
+    xs, order = _sort_pair(xf, iota)
+    return _tiedrank_sorted(xs, order)
 
 
 def _avg_ranks_sorted(xs):
@@ -84,53 +82,14 @@ def _avg_ranks_sorted(xs):
     return (start + end).astype(xs.dtype) * 0.5 + 1.0
 
 
-def _tiedrank_sorted(xs, order, staged: bool = False):
+def _tiedrank_sorted(xs, order):
     """Ranks in original positions from a presorted (values, permutation) pair."""
     avg_rank_sorted = _avg_ranks_sorted(xs)
-    _, ranks = _sort_pair(order, avg_rank_sorted, staged)
+    _, ranks = _sort_pair(order, avg_rank_sorted)
     return ranks
 
 
-def bitonic_merge_valley(keys, payload):
-    """Sort a per-column *valley* sequence (decreasing then increasing) with a
-    single bitonic merge, carrying ``payload``.
-
-    A valley is a cyclic rotation of a bitonic sequence, so Batcher's merge
-    (log2 N compare-exchange stages at strides N/2..1) sorts it — ~20 stages
-    instead of the ~log^2 N / 2 ~ 220 of a full sort. This is how the rank
-    pipeline sorts ``|x - median|``: in x-sorted order the folded values are
-    exactly a valley, so the tail transform reuses the bulk transform's sort
-    (see ``rank_normalize_folded_sorted``).
-
-    Rows pad to a power of two with +inf appended at the end (which keeps the
-    valley property). Unstable; ties are averaged downstream.
-    """
-    n, p = keys.shape
-    npow = 1 << max(1, (n - 1).bit_length())
-    if jnp.issubdtype(keys.dtype, jnp.floating):
-        pad_val = jnp.inf
-    else:
-        pad_val = jnp.iinfo(keys.dtype).max
-    kx = jnp.pad(keys, ((0, npow - n), (0, 0)), constant_values=pad_val)
-    px = jnp.pad(payload, ((0, npow - n), (0, 0)))
-    s = npow // 2
-    while s >= 1:
-        k4 = kx.reshape(npow // (2 * s), 2, s, p)
-        p4 = px.reshape(npow // (2 * s), 2, s, p)
-        lo_k, hi_k = k4[:, 0], k4[:, 1]
-        lo_p, hi_p = p4[:, 0], p4[:, 1]
-        swap = lo_k > hi_k
-        kx = jnp.stack(
-            [jnp.where(swap, hi_k, lo_k), jnp.where(swap, lo_k, hi_k)], axis=1
-        ).reshape(npow, p)
-        px = jnp.stack(
-            [jnp.where(swap, hi_p, lo_p), jnp.where(swap, lo_p, hi_p)], axis=1
-        ).reshape(npow, p)
-        s //= 2
-    return kx[:n], px[:n]
-
-
-def rank_normalize_folded_sorted(xs, order, med, *, staged: bool = False):
+def rank_normalize_folded_sorted(xs, order, med):
     """Rank-normalize ``|x - med|`` reusing the (xs, order) sort of ``x``.
 
     ``xs``/``order``: ascending values and the original-position permutation
@@ -146,14 +105,14 @@ def rank_normalize_folded_sorted(xs, order, med, *, staged: bool = False):
     """
     n = xs.shape[0]
     folded = jnp.abs(xs - med[None, :])
-    fs, forder = _sort_pair(folded, order, staged)
+    fs, forder = _sort_pair(folded, order)
     ranks_sorted = _avg_ranks_sorted(fs)
-    _, z = _sort_pair(forder, ndtri((ranks_sorted - 0.375) / (n + 0.25)), staged)
+    _, z = _sort_pair(forder, ndtri((ranks_sorted - 0.375) / (n + 0.25)))
     bad = _has_nan_cols(xs)[None, :]
     return jnp.where(bad, jnp.nan, z)
 
 
-def folded_rank_values_sorted(xs, order, med, *, staged: bool = False):
+def folded_rank_values_sorted(xs, order, med):
     """Rank-normalized folded values in FOLD-SORTED order, with positions.
 
     ``xs``/``order``: the bulk transform's sort of ``x``; ``med``: (P,)
@@ -167,12 +126,12 @@ def folded_rank_values_sorted(xs, order, med, *, staged: bool = False):
     """
     n = xs.shape[0]
     folded = jnp.abs(xs - med[None, :])
-    fs, forder = _sort_pair(folded, order, staged)
+    fs, forder = _sort_pair(folded, order)
     zf_sorted = ndtri((_avg_ranks_sorted(fs) - 0.375) / (n + 0.25))
     return zf_sorted, forder
 
 
-def rank_normalize_from_sort(xs, order, bad, *, staged: bool = False):
+def rank_normalize_from_sort(xs, order, bad):
     """Rank-normalize from a presorted (values, positions) pair.
 
     Returns the flat (N, P) rank-normal sample in original row order — the
@@ -180,21 +139,21 @@ def rank_normalize_from_sort(xs, order, bad, *, staged: bool = False):
     """
     n = xs.shape[0]
     zb_sorted = ndtri((_avg_ranks_sorted(xs) - 0.375) / (n + 0.25))
-    _, zb = _sort_pair(order, zb_sorted, staged)
+    _, zb = _sort_pair(order, zb_sorted)
     return jnp.where(bad[None, :], jnp.nan, zb)
 
 
-def rank_normalize(x3, *, staged: bool = False):
+def rank_normalize(x3):
     """Rank-normalize each parameter slice over its joint (draw, chain) sample.
 
     tiedrank -> Blom quantiles ``(r - 3/8) / (n + 1/4)`` -> inverse normal CDF.
     Reference: ``_rank_normalize`` src/utils.jl:169-193. NaN in a slice yields
     an all-NaN slice (mirrors the all-missing rule, src/utils.jl:176-179).
     """
-    return rank_normalize_with_median(x3, staged=staged)[0]
+    return rank_normalize_with_median(x3)[0]
 
 
-def rank_normalize_with_median(x3, *, staged: bool = False):
+def rank_normalize_with_median(x3):
     """Rank-normalize and return the per-parameter median from the same sort.
 
     The rank/tail kinds need both the rank transform of ``x`` and its median
@@ -206,8 +165,8 @@ def rank_normalize_with_median(x3, *, staged: bool = False):
     n = xf.shape[0]
     with jax.named_scope("mdt.rank_sort"):
         iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-        xs, order = _sort_pair(xf, iota, staged)
-        r = _tiedrank_sorted(xs, order, staged)
+        xs, order = _sort_pair(xf, iota)
+        r = _tiedrank_sorted(xs, order)
     q = (r - 0.375) / (n + 0.25)
     z = ndtri(q)
     bad = _has_nan_cols(xf)[None, :]
@@ -216,7 +175,7 @@ def rank_normalize_with_median(x3, *, staged: bool = False):
     return z.reshape(d, c, p), med
 
 
-def sort_with_positions(x3, *, staged: bool = False):
+def sort_with_positions(x3):
     """One payload sort of the flattened sample: ``(xs, order, bad)``.
 
     ``xs``: ascending values (N, P); ``order``: original row of each sorted
@@ -226,11 +185,11 @@ def sort_with_positions(x3, *, staged: bool = False):
     """
     xf = _flatten_sample(x3)
     iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-    xs, order = _sort_pair(xf, iota, staged)
+    xs, order = _sort_pair(xf, iota)
     return xs, order, _has_nan_cols(xf)
 
 
-def rank_bulk_tail_transforms(x3, *, staged: bool = False):
+def rank_bulk_tail_transforms(x3):
     """Fused rank-kind transform pair: ``(z_bulk, z_tail, med)``.
 
     ``z_bulk`` = rank-normalized ``x`` and ``z_tail`` = rank-normalized
@@ -249,14 +208,14 @@ def rank_bulk_tail_transforms(x3, *, staged: bool = False):
     """
     d, c, p = x3.shape
     with jax.named_scope("mdt.rank_sort"):
-        xs, order, bad = sort_with_positions(x3, staged=staged)
+        xs, order, bad = sort_with_positions(x3)
     n = xs.shape[0]
     zb_sorted = ndtri((_avg_ranks_sorted(xs) - 0.375) / (n + 0.25))
     med = jnp.where(bad, jnp.nan, sorted_quantile(xs, 0.5))
     with jax.named_scope("mdt.rank_inverse"):
-        _, zb = _sort_pair(order, zb_sorted, staged)
+        _, zb = _sort_pair(order, zb_sorted)
     with jax.named_scope("mdt.fold_sort"):
-        zf = rank_normalize_folded_sorted(xs, order, med, staged=staged)
+        zf = rank_normalize_folded_sorted(xs, order, med)
     z = jnp.where(bad[None, :], jnp.nan, zb)
     return z.reshape(d, c, p), zf.reshape(d, c, p), med
 

@@ -297,28 +297,3 @@ class TestPallasAutocov:
         np.testing.assert_allclose(np.asarray(a.ess), np.asarray(b.ess), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(a.rhat), np.asarray(b.rhat),
                                    rtol=1e-10)
-
-
-class TestStagedSortPath:
-    def test_staged_sort_matches_xla_path(self, rng):
-        # CPU interpret is too slow for full pipelines; validate the rank
-        # transform itself via the kernel flag at small size
-        import jax.numpy as jnp
-        from mcmcdiagnostictools_jl_tpu.ops.ranknorm import rank_normalize
-        from mcmcdiagnostictools_jl_tpu.ops.pallas import sort_kernel
-
-        x = rng.standard_normal((257, 4, 2))
-        x[rng.random(x.shape) < 0.1] = 1.5  # ties
-        base = np.asarray(rank_normalize(jnp.asarray(x)))
-
-        orig = sort_kernel.staged_sort
-        try:
-            # route the staged path through interpret mode on CPU
-            sort_kernel_staged = lambda k, p, **kw: orig(k, p, interpret=True, **{
-                kk: vv for kk, vv in kw.items() if kk != "interpret"})
-            sort_kernel.staged_sort = sort_kernel_staged
-            import mcmcdiagnostictools_jl_tpu.ops.ranknorm as rn
-            z = np.asarray(rn.rank_normalize(jnp.asarray(x), staged=True))
-        finally:
-            sort_kernel.staged_sort = orig
-        np.testing.assert_allclose(z, base, rtol=1e-6, atol=1e-7)

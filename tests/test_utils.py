@@ -172,18 +172,3 @@ class TestFoldedMergeTransforms:
         np.testing.assert_array_equal(np.asarray(z), np.asarray(rank_normalize(x3)))
         ref = rank_normalize(fold_around_median(x3))
         np.testing.assert_array_equal(np.asarray(zf), np.asarray(ref))
-
-    def test_valley_merge_sorts(self, rng):
-        import jax.numpy as jnp
-        from mcmcdiagnostictools_jl_tpu.ops.ranknorm import bitonic_merge_valley
-
-        for n in (5, 64, 100, 1000):
-            base = np.sort(rng.standard_normal((n, 4)), axis=0)
-            med = np.median(base, axis=0)
-            valley = np.abs(base - med[None, :]).astype(np.float64)
-            iota = np.broadcast_to(np.arange(n)[:, None], (n, 4)).astype(np.int32)
-            ks, ps = bitonic_merge_valley(jnp.asarray(valley), jnp.asarray(iota))
-            ks, ps = np.asarray(ks), np.asarray(ps)
-            np.testing.assert_array_equal(ks, np.sort(valley, axis=0))
-            for j in range(4):
-                np.testing.assert_array_equal(valley[ps[:, j], j], ks[:, j])
