@@ -112,6 +112,25 @@ class TestEndToEnd:
             with pytest.raises(ValueError):
                 mdt.discretediag(x, frac=frac)
 
+    @pytest.mark.parametrize("method", ["weiss", "hangartner", "billingsley"])
+    def test_slicing_invariance(self, rng, method):
+        # a parameter computed alone (m_pad = its own m) must match the same
+        # parameter inside a batch whose m_pad is the max across params —
+        # catches category-padding errors in the batched driver
+        x = np.concatenate(
+            [rng.integers(0, 3, size=(150, 3, 2)),
+             rng.integers(0, 7, size=(150, 3, 1))], axis=2
+        ).astype(float)
+        full = mdt.discretediag(x, method=method)
+        for j in range(3):
+            single = mdt.discretediag(x[:, :, j : j + 1], method=method)
+            np.testing.assert_allclose(
+                single.between_chain.stat[0], full.between_chain.stat[j],
+                rtol=1e-12)
+            np.testing.assert_allclose(
+                single.within_chain.pvalue[0], full.within_chain.pvalue[j],
+                rtol=1e-12)
+
     def test_deterministic_with_seed(self, rng):
         x = rng.integers(0, 3, size=(200, 2, 2)).astype(float)
         a = mdt.discretediag(x, method="DARBOOT", nsim=100, rng=7)
