@@ -62,7 +62,9 @@ def _baseline_throughput() -> float:
 def main() -> None:
     import jax
     import mcmcdiagnostictools_jl_tpu as mdt
+    from mcmcdiagnostictools_jl_tpu.utils.profiling import enable_compilation_cache
 
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
 
     last_err = None

@@ -157,9 +157,15 @@ def _auto_method(x3=None, niter=None, maxlag: int = 250) -> str:
         platform = jax.default_backend()
     if platform != "tpu":
         return "fft"
-    if x3 is not None and niter is not None:
+    if x3 is not None:
         itemsize = jnp.dtype(x3.dtype).itemsize
-        if (2 * niter + maxlag) * 128 * itemsize > _FUSED_VMEM_BUDGET_BYTES:
+        if itemsize > 4:
+            # TPU rewrites x64 HLO to f32 pairs, but cannot rewrite inside a
+            # pallas_call — f64 inputs must take the plain-XLA path
+            return "fft"
+        if niter is not None and (
+            (2 * niter + maxlag) * 128 * itemsize > _FUSED_VMEM_BUDGET_BYTES
+        ):
             return "fft"
     return "fused"
 

@@ -11,6 +11,7 @@ from .indices import (
     split_chain_indices,
     shuffle_split_stratified,
 )
+from .profiling import annotate, enable_compilation_cache, trace
 
 __all__ = [
     "canonicalize",
@@ -23,4 +24,7 @@ __all__ = [
     "unique_indices",
     "split_chain_indices",
     "shuffle_split_stratified",
+    "annotate",
+    "enable_compilation_cache",
+    "trace",
 ]
