@@ -108,8 +108,19 @@ def discretediag(chains, *, frac: float = 0.3, method: str = "weiss",
     y_w = np.ascontiguousarray(
         y_w.transpose(0, 1, 3, 2).reshape(n_min, 2, num_vars * num_chains)
     )
-    m_w = np.repeat(m_arr, num_chains)
-    w_stat, w_df, w_pval = _diag_batched(y_w, m_w, m_pad, method, nsim, key_w)
+    # the reference's diag_all recomputes the category set from the windowed
+    # data only (src/discretediag.jl:252): recode each test's codes to the
+    # contiguous categories present in its two frac windows
+    nw = num_vars * num_chains
+    y_flat = y_w.reshape(n_min * 2, nw)  # view into y_w
+    m_w = np.empty(nw, dtype=np.int64)
+    for s in range(nw):
+        uniq, inv = np.unique(y_flat[:, s], return_inverse=True)
+        y_flat[:, s] = inv
+        m_w[s] = len(uniq)
+    m_pad_w = int(m_w.max())
+    w_stat, w_df, w_pval = _diag_batched(y_w, m_w, m_pad_w, method, nsim,
+                                         key_w)
 
     shape_w = (num_vars, num_chains)
     return DiscreteDiagResult(
@@ -309,12 +320,19 @@ def _diag_batched(y, m_true, m_pad, method, nsim, key):
             hang = hot_stat / bdf  # compared against bootstrap stat/df ratios
 
     valid = ~np.isnan(bstats)                          # (nsim, B)
-    cnt = np.maximum(valid.sum(axis=0), 1)
-    df0 = np.where(valid, bstats, 0.0).sum(axis=0) / cnt
+    nvalid = valid.sum(axis=0)
+    cnt = np.maximum(nvalid, 1)
+    # all-NaN bootstrap column -> NaN (the reference's mean over an empty
+    # NaN-filtered vector, src/discretediag.jl:315-337), not 0.0
+    df0 = np.where(nvalid > 0,
+                   np.where(valid, bstats, 0.0).sum(axis=0) / cnt, np.nan)
     cmp_stat = hang if method != "MCBOOT" else nan
     with np.errstate(invalid="ignore"):
-        pval = (np.where(valid, cmp_stat[None, :] <= bstats, False)
-                .sum(axis=0) / cnt)
+        pval = np.where(
+            nvalid > 0,
+            np.where(valid, cmp_stat[None, :] <= bstats, False)
+            .sum(axis=0) / cnt,
+            np.nan)
     return stat, df0, pval
 
 
@@ -375,9 +393,13 @@ def _boot_chunk(key, phia, cdf_fresh, cdf_trans, zero_row, m_true, *, n, d, m,
     cdf_fresh_t = cdf_fresh.T  # (m, B)
 
     def fresh_draw(u):  # categorical from per-test cdf (m, B); u (d, S, B)
+        # clamp per test to m_true-1, not the static pad m-1: f32 cumsum CDFs
+        # can end ~1 ulp below 1.0, and a uniform in that gap must not select
+        # a padded out-of-support category (absorbing in MC mode)
         return jnp.minimum(
             jnp.sum(u[:, None] > cdf_fresh_t[None, :, None, :],
-                    axis=1).astype(jnp.int32), m - 1)
+                    axis=1).astype(jnp.int32),
+            m_true[None, None, :] - 1)
 
     keys = jax.random.split(key, n)
     u0 = jax.random.uniform(keys[0], (d, S, B), dtype=jnp.float32)
@@ -412,7 +434,7 @@ def _boot_chunk(key, phia, cdf_fresh, cdf_trans, zero_row, m_true, *, n, d, m,
             zr = jnp.einsum("dmsb,mb->dsb", oh_prev, zero_row_t)
             nxt = jnp.minimum(
                 jnp.sum(u1[:, None] > rowcdf, axis=1).astype(jnp.int32),
-                m - 1)
+                m_true[None, None, :] - 1)
             new = jnp.where(zr > 0, prev, nxt)
         oh_new = onehot(new)
         if stat_kind == "bill":
