@@ -97,8 +97,13 @@ def config3():
     heideldiag_batch(x)
     out["wall_s_heidel_batch"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rafterydiag_batch(x[:, :2, :10])  # host loop; subsample, scale in report
-    out["wall_s_raftery_20series"] = time.perf_counter() - t0
+    rafterydiag_batch(x)  # vectorized host path, all 800 series
+    out["wall_s_raftery_800series"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from mcmcdiagnostictools_jl_tpu.diagnostics.discretediag import discretediag
+    xd = np.digitize(x[:, :, :20], [-1.0, 0.0, 1.0])  # 4-category codes
+    discretediag(xd, nsim=200)
+    out["wall_s_discretediag_20params"] = time.perf_counter() - t0
     dt, _ = _timed(lambda: mdt.gelmandiag(x))
     out["wall_s_gelman"] = dt
     return out

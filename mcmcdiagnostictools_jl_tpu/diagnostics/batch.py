@@ -32,6 +32,7 @@ clamping. One compile serves every window of every call with the same
 from __future__ import annotations
 
 import math
+import warnings
 from functools import partial
 from typing import NamedTuple
 
@@ -45,7 +46,7 @@ from ..ops.geyer import geyer_ess_from_rho_dynamic
 from ..ops.special import pcramer
 from ..utils.layout import canonicalize
 from .mcse import mcse
-from .rafterydiag import RafteryResult, rafterydiag
+from .rafterydiag import RafteryResult
 
 
 class GewekeBatchResult(NamedTuple):
@@ -261,18 +262,115 @@ def heideldiag_batch(samples, *, alpha: float = 0.05, eps: float = 0.1,
     )
 
 
-def rafterydiag_batch(samples, **kwargs):
-    """Per-series Raftery-Lewis (host loop; the BIC search is sequential).
+def _pattern_counts(vals, nbins: int):
+    """Per-series bincounts: ``vals`` (L, S) ints in [0, nbins) -> (nbins, S)."""
+    length, nser = vals.shape
+    if length == 0:
+        return np.zeros((nbins, nser), dtype=np.int64)
+    flat = vals + nbins * np.arange(nser, dtype=vals.dtype)[None, :]
+    return (
+        np.bincount(flat.ravel(), minlength=nbins * nser)
+        .reshape(nser, nbins)
+        .T
+    )
 
+
+def rafterydiag_batch(
+    samples, *, q: float = 0.025, r: float = 0.005, s: float = 0.95,
+    eps: float = 0.001, range_start: int = 1, range_step: int = 1,
+):
+    """Vectorized Raftery-Lewis over every (chain, parameter) series.
+
+    The dichotomize / pattern-count / G2 stages run batched across all series
+    for each candidate thinning; only the per-series "first BIC < 0" decision
+    is scalar bookkeeping (src/rafterydiag.jl:42-59 semantics, numerically
+    identical to the scalar :func:`rafterydiag` loop — asserted in tests).
     Returns a :class:`RafteryResult` of arrays shaped (chains, *pshape).
     """
-    x3, flat, out_shape = _series_matrix(samples)
-    series = np.asarray(flat[:, 0, :])
-    results = [rafterydiag(series[:, j], **kwargs) for j in range(series.shape[1])]
-    stack = lambda attr: np.asarray(
-        [getattr(r, attr) for r in results]
-    ).reshape(out_shape)
+    import math as _math
+
+    from scipy.special import erfinv
+
+    # NumPy-only canonicalization: this diagnostic is host-side, and routing
+    # the sample through jnp.asarray would round-trip it over the device
+    # tunnel (measured 75 s for a 32 MB array vs ~2 s of actual compute)
+    x = np.asarray(samples, dtype=float)
+    if x.ndim == 1:
+        x = x[:, None]
+    pshape = x.shape[2:]
+    ndraws, nchains = x.shape[0], x.shape[1]
+    out_shape = (nchains,) + pshape
+    series = x.reshape(ndraws, -1)  # (n, S), series index = chain*P + param
+    n, nser = series.shape
+    phi = _math.sqrt(2.0) * float(erfinv(s))
+    nmin = _math.ceil(q * (1.0 - q) * (phi / r) ** 2)
+    if nmin > n:
+        warnings.warn(
+            f"At least {nmin} samples are needed for specified q, r, and s"
+        )
+        nanv = np.full(out_shape, np.nan)
+        return RafteryResult(
+            np.full(out_shape, -1.0), nanv.copy(), nanv.copy(),
+            np.full(out_shape, nmin), nanv.copy(),
+        )
+
+    thr = np.quantile(series, q, axis=0)  # (S,)
+    dichot = (series <= thr[None, :]).astype(np.int64)
+
+    kthin_res = np.zeros(nser, dtype=np.int64)
+    alpha = np.full(nser, np.nan)
+    beta = np.full(nser, np.nan)
+    active = np.ones(nser, dtype=bool)
+    kthin = 0
+    while active.any():
+        kthin += 1
+        test = dichot[::kthin]
+        ntest = len(test)
+        if ntest <= 4:
+            # scalar reference would fail here (log of a non-positive count);
+            # mark the stragglers unconverged instead of crashing the batch
+            break
+        temp = test[: ntest - 2] + 2 * test[1 : ntest - 1] + 4 * test[2:]
+        counts = _pattern_counts(temp, 8)  # (8, S)
+        # trantest[i1, i2, i3] = counts[i1 + 2*i2 + 4*i3] (Fortran reshape,
+        # src/rafterydiag.jl:44-47)
+        tran = counts.reshape(2, 2, 2, nser, order="F").astype(float)
+        sum_i1 = tran.sum(axis=0, keepdims=True)
+        sum_i3 = tran.sum(axis=2, keepdims=True)
+        sum_both = tran.sum(axis=(0, 2), keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fitted = sum_i1 * sum_i3 / sum_both
+            g2 = np.where(
+                tran > 0, 2.0 * tran * np.log(tran / fitted), 0.0
+            ).sum(axis=(0, 1, 2))
+        bic = g2 - 2.0 * _math.log(ntest - 2.0)
+        done = active & (bic < 0.0)
+        if done.any():
+            tf = _pattern_counts(test[: ntest - 1] + 2 * test[1:], 4)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                a = tf[2] / (tf[0] + tf[2])
+                b = tf[1] / (tf[1] + tf[3])
+            kthin_res[done] = kthin
+            alpha[done] = a[done]
+            beta[done] = b[done]
+            active &= ~done
+
+    kthin_eff = (kthin_res * range_step).astype(float)
+    kthin_eff[kthin_res == 0] = np.nan
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = np.log(eps * (alpha + beta) / np.maximum(alpha, beta)) / np.log(
+            np.abs(1.0 - alpha - beta)
+        )
+        burnin = kthin_eff * np.ceil(m) + range_start - 1
+        ntot = ((2.0 - alpha - beta) * alpha * beta * phi**2) / (
+            r**2 * (alpha + beta) ** 3
+        )
+        keep = kthin_eff * np.ceil(ntot)
+        total = burnin + keep
     return RafteryResult(
-        stack("thinning"), stack("burnin"), stack("total"), stack("nmin"),
-        stack("dependencefactor"),
+        kthin_eff.reshape(out_shape),
+        burnin.reshape(out_shape),
+        total.reshape(out_shape),
+        np.full(out_shape, nmin),
+        (total / nmin).reshape(out_shape),
     )
