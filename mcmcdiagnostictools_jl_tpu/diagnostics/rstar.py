@@ -73,13 +73,28 @@ def rstar(
     xtest = rows[test_ids]
 
     if getattr(classifier, "probabilistic", False):
-        proba = np.asarray(classifier.predict_proba(state, xtest), dtype=np.float64)
-        if proba.shape != (len(ytest), nclasses):
-            raise ValueError(
-                f"predict_proba must return shape (ntest, nclasses)="
-                f"{(len(ytest), nclasses)}, got {proba.shape}"
+        if hasattr(classifier, "predict_true_proba"):
+            # streaming path: the (ntest, K) probability matrix is never
+            # materialized (many-chain regime, BASELINE config 5)
+            p_true = np.asarray(
+                classifier.predict_true_proba(state, xtest, ytest),
+                dtype=np.float64,
             )
-        p_true = proba[np.arange(len(ytest)), ytest]
+            if p_true.shape != ytest.shape:
+                raise ValueError(
+                    "predict_true_proba must return one probability per "
+                    "test row"
+                )
+        else:
+            proba = np.asarray(
+                classifier.predict_proba(state, xtest), dtype=np.float64
+            )
+            if proba.shape != (len(ytest), nclasses):
+                raise ValueError(
+                    f"predict_proba must return shape (ntest, nclasses)="
+                    f"{(len(ytest), nclasses)}, got {proba.shape}"
+                )
+            p_true = proba[np.arange(len(ytest)), ytest]
         # clip tiny negative / >1 float noise
         p_true = np.clip(p_true, 0.0, 1.0)
         return ScaledPoissonBinomial(p_true, nclasses / len(ytest))
