@@ -40,10 +40,20 @@ from ..ops.ranknorm import (
     batched_quantile,
     _has_nan_cols,
 )
-from ..ops.seghist import split_chain_stats_from_sorted
+from ..ops.seghist import (
+    split_chain_ids_from_flat,
+    split_chain_stats_from_sorted,
+    weighted_segment_moments,
+)
 from ..utils.layout import canonicalize, maybe_scalar
 from ..utils.split import split_chains_reshape
 from .mesh import MeshConfig, shard_canonical
+from .ring_rank import (
+    global_positions,
+    quantiles_from_positions,
+    rank_normal_from_counts,
+    ring_rank_counts,
+)
 
 
 def _my_chain_slice(gathered, local_chains: int, axis_name: str):
@@ -128,6 +138,19 @@ def _global_rank_parts(xb, chain_axis: str, split_chains: int = 2):
     return _my_chain_slice(z, c_loc, chain_axis), tail_rhat, bad
 
 
+def _replicated_pmax(values, chain_axis: str):
+    """Replication certificate for bitwise-identical per-shard values.
+
+    ``lax.pmax``'s all-reduce combiner does NOT propagate NaN (max(NaN, x)
+    inits from -inf, so an all-NaN input comes back -inf) — NaN columns are
+    carried through a sentinel instead.
+    """
+    isnan = jnp.isnan(values)
+    safe = jax.lax.pmax(jnp.where(isnan, -jnp.inf, values), chain_axis)
+    nan_any = jax.lax.pmax(isnan.astype(jnp.int32), chain_axis) > 0
+    return jnp.where(nan_any, jnp.nan, safe)
+
+
 def _tail_rhat_full(xs, order, med, bad, full_shape, split_chains, chain_axis):
     d, c, _ = full_shape
     zf_sorted, forder = folded_rank_values_sorted(xs, order, med)
@@ -136,7 +159,158 @@ def _tail_rhat_full(xs, order, med, bad, full_shape, split_chains, chain_axis):
     # computed identically on every chain shard from the gathered sample; the
     # pmax is a replication certificate for shard_map's out_spec check, not a
     # reduction (all operands are bitwise equal)
-    return jax.lax.pmax(rhat, chain_axis)
+    return _replicated_pmax(rhat, chain_axis)
+
+
+# ---------------------------------------------------------------------------
+# ring-mode rank kinds (gather-free; parallel/ring_rank.py)
+# ---------------------------------------------------------------------------
+
+
+def _sort_pair(keys, payload):
+    return jax.lax.sort(
+        (keys, payload), dimension=0, num_keys=1, is_stable=False
+    )
+
+
+def _ring_rank_parts(xb, chain_axis: str, kshards: int, quantile_ps):
+    """One local sort + one ring pass: the rank-kind ingredients, gather-free.
+
+    Returns ``(xs, order, z_sorted, quants, bad)`` — local sorted values,
+    their local flat positions, the rank-normal transform in local sorted
+    order, the requested global type-7 quantiles (len(ps), P), and the
+    NaN-poisoned column mask. Exact tied ranks via the ring merge-count
+    (O(N_local) memory; reference semantics src/utils.jl:169-193).
+    """
+    d, c_loc, p = xb.shape
+    xf = xb.reshape(d * c_loc, p)
+    iota = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+    xs, order = _sort_pair(xf, iota)
+    bad_loc = jnp.any(jnp.isnan(xf), axis=0)
+    bad = jax.lax.pmax(bad_loc.astype(jnp.int32), chain_axis) > 0
+    cl, ce, eqb = ring_rank_counts(xs, chain_axis, kshards)
+    ntot = d * c_loc * kshards
+    z_sorted = rank_normal_from_counts(cl, ce, ntot, xs.dtype)
+    gpos = global_positions(cl, ce, eqb, xs)
+    quants = quantiles_from_positions(xs, gpos, ntot, quantile_ps, chain_axis)
+    quants = jnp.where(bad[None, :], jnp.nan, quants)
+    return xs, order, z_sorted, quants, bad
+
+
+def _rhat_from_local_chain_moments(chain_mean, chain_var, niter: int,
+                                   vmin, vmax, chain_axis: str):
+    """Basic split R-hat from per-shard split-chain moments (psum algebra of
+    ``stats_from_chain_moments``; degenerate slices via global min == max)."""
+    c_loc = chain_mean.shape[0]
+    kshards = jax.lax.psum(1, chain_axis)
+    nchains = c_loc * kshards
+    w = jax.lax.psum(jnp.sum(chain_var, axis=0), chain_axis) / nchains
+    grand = jax.lax.psum(jnp.sum(chain_mean, axis=0), chain_axis) / nchains
+    dm = chain_mean - grand[None]
+    if nchains > 1:
+        between = jax.lax.psum(jnp.sum(dm * dm, axis=0), chain_axis) / (
+            nchains - 1
+        )
+    else:
+        between = jnp.zeros_like(grand)
+    var_plus = (niter - 1) / niter * w + between
+    degenerate = jax.lax.pmax(vmax, chain_axis) == jax.lax.pmin(
+        vmin, chain_axis
+    )
+    var_plus = jnp.where(degenerate, jnp.nan, var_plus)
+    return jnp.sqrt(var_plus / w)
+
+
+def _local_split_moments(values_sorted, order_sorted, ndraws: int,
+                         c_loc: int, split: int):
+    """Per-split-chain moments of this shard's values from fold/sort order.
+
+    ``order_sorted`` holds LOCAL flat positions (draw * c_loc + chain_loc).
+    Returns ``(chain_mean, chain_var, vmin, vmax)`` with C = c_loc * split.
+    """
+    niter = ndraws // split
+    seg, valid = split_chain_ids_from_flat(
+        order_sorted, ndraws, c_loc, split
+    )
+    ssum, ssq = weighted_segment_moments(
+        values_sorted, seg, valid, nseg=c_loc * split
+    )
+    chain_mean = ssum / niter
+    chain_var = (ssq - niter * chain_mean * chain_mean) / (niter - 1)
+    vmin = jnp.min(jnp.where(valid, values_sorted, jnp.inf), axis=0)
+    vmax = jnp.max(jnp.where(valid, values_sorted, -jnp.inf), axis=0)
+    return chain_mean, chain_var, vmin, vmax
+
+
+def _ring_tail_rhat(xs, order, med, bad, d, c_loc, split_chains,
+                    chain_axis, kshards):
+    """Tail R-hat via a second ring pass on the folded values.
+
+    Folded rank-normal split-chain moments come straight off the fold sort
+    (ops/seghist.py) per shard; the cross-chain B/W reduction is psums —
+    never routed back to (draw, chain) order, never gathered.
+    """
+    folded = jnp.abs(xs - med[None, :])
+    fs, forder = _sort_pair(folded, order)
+    cl, ce, _ = ring_rank_counts(fs, chain_axis, kshards)
+    ntot = d * c_loc * kshards
+    zf_sorted = rank_normal_from_counts(cl, ce, ntot, xs.dtype)
+    cm, cv, vmin, vmax = _local_split_moments(
+        zf_sorted, forder, d, c_loc, split_chains
+    )
+    niter = d // split_chains
+    rhat = _rhat_from_local_chain_moments(
+        cm, cv, niter, vmin, vmax, chain_axis
+    )
+    return jnp.where(bad, jnp.nan, rhat)
+
+
+def _ring_kernel(
+    xb, *, kind, split_chains, maxlag, method, relative, q, chain_axis,
+    kshards,
+):
+    """Rank-kind ESS/R-hat with the ring rank transform (no all_gather)."""
+    d, c_loc, p = xb.shape
+    tail_prob = 0.1 if q is None else q
+    if kind == "tail":
+        ps = (tail_prob / 2, 1 - tail_prob / 2, 0.5)
+    else:
+        ps = (0.5,)
+    xs, order, z_sorted, quants, bad = _ring_rank_parts(
+        xb, chain_axis, kshards, ps
+    )
+    med = quants[-1]
+    if kind == "tail":
+        proxies = []
+        for i in range(2):
+            thr = quants[i]
+            proxy = (xb <= thr[None, None, :]).astype(xb.dtype)
+            proxies.append(
+                jnp.where(jnp.isnan(thr)[None, None, :], jnp.nan, proxy)
+            )
+        ess2, _ = _sharded_basic(
+            jnp.concatenate(proxies, axis=2), split_chains=split_chains,
+            maxlag=maxlag, method=method, relative=relative,
+            chain_axis=chain_axis,
+        )
+        ess = jnp.minimum(ess2[:p], ess2[p:])
+        rhat = _ring_tail_rhat(
+            xs, order, med, bad, d, c_loc, split_chains, chain_axis, kshards
+        )
+        return ess, rhat
+    # bulk / rank: rank-normalize back to local (draw, chain) order
+    _, z = _sort_pair(order, z_sorted)
+    z = jnp.where(bad[None, :], jnp.nan, z).reshape(d, c_loc, p)
+    ess_bulk, rhat_bulk = _sharded_basic(
+        z, split_chains=split_chains, maxlag=maxlag, method=method,
+        relative=relative, chain_axis=chain_axis,
+    )
+    if kind == "bulk":
+        return ess_bulk, rhat_bulk
+    rhat_tail = _ring_tail_rhat(
+        xs, order, med, bad, d, c_loc, split_chains, chain_axis, kshards
+    )
+    return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
 
 
 def _sharded_quantile_proxy(xb, q, chain_axis: str):
@@ -199,6 +373,26 @@ def _sharded_kernel(
     raise ValueError(f"unsupported kind {kind!r}")
 
 
+_RING_AUTO_BYTES = 1 << 27  # gather path above this full-sample size
+
+
+def _resolve_rank_impl(rank_impl: str, x3, kind: str) -> str:
+    """Pick gather vs ring for the sort-based kinds.
+
+    ``auto`` switches to the ring merge-count when the gathered full sample
+    would exceed ~128 MB per device — the regime where the all_gather's
+    O(chains_total) HBM footprint dominates (VERDICT round 2, item 3).
+    """
+    if rank_impl not in ("auto", "gather", "ring"):
+        raise ValueError(f"unknown rank_impl {rank_impl!r}")
+    if kind == "basic":
+        return "gather"  # no sort-based transform involved
+    if rank_impl != "auto":
+        return rank_impl
+    nbytes = x3.size * x3.dtype.itemsize
+    return "ring" if nbytes > _RING_AUTO_BYTES else "gather"
+
+
 def ess_rhat_sharded(
     samples,
     cfg: MeshConfig,
@@ -209,19 +403,24 @@ def ess_rhat_sharded(
     autocov_method="auto",
     relative: bool = False,
     tail_prob: float = 0.1,
+    rank_impl: str = "auto",
 ):
     """ESS + R-hat over a chain/param-sharded mesh.
 
     ``samples`` has the canonical shape ``(draws, chains[, parameters...])``;
     it is placed with sharding ``P(None, chains, params)`` and every
     collective stays inside one jitted shard_map. Results are replicated over
-    the chain axis and sharded over params.
+    the chain axis and sharded over params. ``rank_impl`` selects how the
+    sort-based kinds see the global sample: ``"gather"`` (one all_gather,
+    every device sorts the full sample) or ``"ring"`` (ring merge-count,
+    O(N_local) memory — parallel/ring_rank.py); ``"auto"`` picks by size.
     """
     x3, pshape = canonicalize(samples)
     niter = x3.shape[0] // split_chains
     if niter <= 4:
         raise ValueError("sharded ess_rhat requires >4 draws per split chain")
     eff_maxlag = min(maxlag, niter - 4)
+    impl = _resolve_rank_impl(rank_impl, x3, kind)
     x3 = shard_canonical(x3, cfg)
     q = tail_prob if kind == "tail" else None
 
@@ -232,8 +431,20 @@ def ess_rhat_sharded(
     if method in ("fused", "fused_interpret"):
         method = "pallas" if method == "fused" else "fft"
 
-    fn = shard_map(
-        partial(
+    if impl == "ring" and kind in ("bulk", "tail", "rank"):
+        kernel = partial(
+            _ring_kernel,
+            kind=kind,
+            split_chains=split_chains,
+            maxlag=eff_maxlag,
+            method=method,
+            relative=relative,
+            q=q,
+            chain_axis=cfg.chain_axis,
+            kshards=cfg.mesh.shape[cfg.chain_axis],
+        )
+    else:
+        kernel = partial(
             _sharded_kernel,
             kind=kind,
             split_chains=split_chains,
@@ -242,13 +453,46 @@ def ess_rhat_sharded(
             relative=relative,
             q=q,
             chain_axis=cfg.chain_axis,
-        ),
+        )
+    fn = shard_map(
+        kernel,
         mesh=cfg.mesh,
         in_specs=(cfg.data_spec,),
         out_specs=(cfg.param_spec, cfg.param_spec),
     )
     ess, rhat = jax.jit(fn)(x3)
     return ESSRhat(maybe_scalar(ess, pshape), maybe_scalar(rhat, pshape))
+
+
+def _nested_rhat_from_moments_dist(chain_mean, chain_var, nsuper_local: int,
+                                   chain_axis: str, vmin, vmax):
+    """Nested R-hat from per-shard split-chain moments (superchains local to
+    their shard; the across-superchain level is psums —
+    src/rhat_nested.jl:144-185 algebra)."""
+    ctot_loc, nparams = chain_mean.shape
+    m = ctot_loc // nsuper_local
+    kshards = jax.lax.psum(1, chain_axis)
+    nsuper = nsuper_local * kshards
+    cm = chain_mean.reshape(nsuper_local, m, nparams)
+    cv = chain_var.reshape(nsuper_local, m, nparams)
+    wk = jnp.mean(cv, axis=1)
+    sm = jnp.mean(cm, axis=1)
+    if m > 1:
+        dm = cm - sm[:, None]
+        bk = jnp.sum(dm * dm, axis=1) / (m - 1)
+    else:
+        bk = jnp.zeros_like(wk)
+    var_within = jax.lax.psum(jnp.sum(wk + bk, axis=0), chain_axis) / nsuper
+    grand = jax.lax.psum(jnp.sum(sm, axis=0), chain_axis) / nsuper
+    ds_ = sm - grand[None]
+    var_between = jax.lax.psum(jnp.sum(ds_ * ds_, axis=0), chain_axis) / (
+        nsuper - 1
+    )
+    degenerate = jax.lax.pmax(vmax, chain_axis) == jax.lax.pmin(
+        vmin, chain_axis
+    )
+    var_between = jnp.where(degenerate, jnp.nan, var_between)
+    return jnp.sqrt(1.0 + var_between / var_within)
 
 
 def rhat_nested_sharded(
@@ -258,6 +502,7 @@ def rhat_nested_sharded(
     *,
     kind: str = "rank",
     split_chains: int = 2,
+    rank_impl: str = "auto",
 ):
     """Nested R-hat over a chain/param-sharded mesh (BASELINE config 5).
 
@@ -280,8 +525,41 @@ def rhat_nested_sharded(
             f"chain shards ({kshards})"
         )
     x3 = jnp.asarray(x3)[:, np.asarray(perm), :]  # superchains contiguous
+    impl = _resolve_rank_impl(rank_impl, x3, kind)
     x3 = shard_canonical(x3, cfg)
     nsuper_local = nsuper // kshards
+
+    def ring_kernel(xb):
+        # gather-free: ring merge-count ranks + local split-chain moments off
+        # the sort order (ops/seghist.py), two-level psum reduction
+        d, c_loc, _ = xb.shape
+        xs, order, z_sorted, quants, bad = _ring_rank_parts(
+            xb, cfg.chain_axis, kshards, (0.5,)
+        )
+        med = quants[0]
+
+        def nested_from_sorted(values_sorted, positions):
+            cm, cv, vmin, vmax = _local_split_moments(
+                values_sorted, positions, d, c_loc, split_chains
+            )
+            r = _nested_rhat_from_moments_dist(
+                cm, cv, nsuper_local, cfg.chain_axis, vmin, vmax
+            )
+            return jnp.where(bad, jnp.nan, r)
+
+        if kind in ("bulk", "rank"):
+            bulk = nested_from_sorted(z_sorted, order)
+            if kind == "bulk":
+                return bulk
+        folded = jnp.abs(xs - med[None, :])
+        fs, forder = _sort_pair(folded, order)
+        cl, ce, _ = ring_rank_counts(fs, cfg.chain_axis, kshards)
+        ntot = d * c_loc * kshards
+        zf_sorted = rank_normal_from_counts(cl, ce, ntot, xs.dtype)
+        tail = nested_from_sorted(zf_sorted, forder)
+        if kind == "tail":
+            return tail
+        return jnp.maximum(bulk, tail)
 
     def kernel(xb):
         # The rank-transformed kinds are pure moment statistics (no autocov),
@@ -304,7 +582,7 @@ def rhat_nested_sharded(
                 stats.chain_mean, stats.chain_var, nsuper, stats.degenerate
             )
             # replication certificate (identical on every chain shard)
-            return jax.lax.pmax(jnp.where(bad, jnp.nan, r), cfg.chain_axis)
+            return _replicated_pmax(jnp.where(bad, jnp.nan, r), cfg.chain_axis)
 
         if kind in ("bulk", "rank"):
             from ..ops.ranknorm import _avg_ranks_sorted
@@ -322,8 +600,9 @@ def rhat_nested_sharded(
             return tail
         return jnp.maximum(bulk, tail)
 
+    use_ring = impl == "ring" and kind in ("bulk", "tail", "rank")
     fn = shard_map(
-        kernel,
+        ring_kernel if use_ring else kernel,
         mesh=cfg.mesh,
         in_specs=(cfg.data_spec,),
         out_specs=cfg.param_spec,
