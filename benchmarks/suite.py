@@ -27,16 +27,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _timed(fn, repeats: int = 3):
-    import jax
+def _force(out):
+    """Force device completion with a tiny host readback.
 
-    out = fn()
-    jax.block_until_ready(out)
+    ``block_until_ready`` alone is not trustworthy through the axon tunnel
+    for repeated identical dispatches (config 4 once measured 0.25 ms for a
+    5 GB workload); reading one element back proves the result exists.
+    """
+    import jax
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ndim")]
+    for leaf in leaves:
+        np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[-1])
+    return out
+
+
+def _timed(fn, repeats: int = 3, fresh=None):
+    """Median wall of ``repeats`` runs. ``fresh``: optional callable giving a
+    NEW input per repeat (defeats any (executable, args) result caching)."""
+    out = _force(fn() if fresh is None else fn(fresh()))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        out = fn() if fresh is None else fn(fresh())
+        _force(out)
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2], out
 
@@ -117,11 +133,18 @@ def config4():
     results = {}
     for params in (1000, 512, 256):
         try:
-            x = jax.device_put(
-                rng.standard_normal((10_000, 128, params)).astype(np.float32)
-            )
+            xs = [
+                jax.device_put(
+                    rng.standard_normal((10_000, 128, params)).astype(
+                        np.float32
+                    )
+                )
+                for _ in range(2)
+            ]
+            it = iter(xs * 2)
             dt, _ = _timed(
-                lambda: mdt.ess_rhat(x, kind="rank", param_chunk=64), repeats=1
+                lambda x: mdt.ess_rhat(x, kind="rank", param_chunk=64),
+                repeats=2, fresh=lambda: next(it),
             )
             results["params"] = params
             results["wall_s_rank"] = dt

@@ -112,7 +112,55 @@ def rank_normalize_folded_sorted(xs, order, med):
     return jnp.where(bad, jnp.nan, z)
 
 
-def folded_rank_values_sorted(xs, order, med):
+# Fold-sort decomposition block length: the valley two-sort reshapes the
+# flattened sample to (ceil(N/S), S) and sorts each axis once. Measured on
+# v5e at (1.28M, 64): full payload lax.sort 188 ms vs 91-100 ms for the
+# two-sort across S in {512, 2048, 8192} (PERF.md round 3).
+_VALLEY_BLOCK = 8192
+
+
+def valley_sort_2d(keys, payload, s: int = _VALLEY_BLOCK):
+    """Sort a per-column *valley* (circularly bitonic) sequence with payload.
+
+    ``keys``: (N, P) per-column valleys — the shape of ``|xs - med|`` when
+    ``xs`` is sorted (fold transform, reference src/utils.jl:148-158 applied
+    to a sorted sample). A bitonic sequence needs only a log-depth bitonic
+    merge, not a full sort; expressed stage-by-stage at the XLA level the
+    merge does not fuse (465 ms vs 192 ms for a plain sort, PERF.md "Valley
+    merge post-mortem"), but it DECOMPOSES into two batched small-axis sorts:
+
+    view the (virtually inf-padded) sequence as ``(M, S)`` with flat index
+    ``i = m * S + low``. Every m-column (fixed ``low``) is a subsequence of a
+    valley, hence bitonic, and the high bitonic-merge stages (distance >= S)
+    form a complete bitonic merge of each m-column — i.e. they SORT each
+    m-column. After that, the standard bitonic-merge recursion invariant
+    says each contiguous S-block is bitonic with blocks ordered, so sorting
+    within blocks (axis 1) completes the global sort. Two ``lax.sort`` calls
+    over short axes replace one deep full sort: 2.06x measured on v5e, keys
+    bit-identical (same NaN-last total order, exact ties).
+
+    Works on every backend and dtype (pure XLA); on CPU the comparison sorts
+    cost the same O(N log N) either way, so ``fold_impl="auto"`` only routes
+    TPU inputs here.
+    """
+    n, p = keys.shape
+    m = -(-n // s)
+    npad = m * s - n
+    if npad:
+        # NaN pads sort after EVERYTHING in the lax.sort total order
+        # (-NaN < -inf < finite < +inf < NaN), so the final [:n] slice cuts
+        # exactly the pad rows — +inf data keeps its payload, and NaN-bearing
+        # columns (masked downstream) still land their NaNs last.
+        keys = jnp.pad(keys, ((0, npad), (0, 0)), constant_values=jnp.nan)
+        payload = jnp.pad(payload, ((0, npad), (0, 0)))
+    k3 = keys.reshape(m, s, p)
+    p3 = payload.reshape(m, s, p)
+    k3, p3 = jax.lax.sort((k3, p3), dimension=0, num_keys=1, is_stable=False)
+    k3, p3 = jax.lax.sort((k3, p3), dimension=1, num_keys=1, is_stable=False)
+    return k3.reshape(-1, p)[:n], p3.reshape(-1, p)[:n]
+
+
+def folded_rank_values_sorted(xs, order, med, *, merge: str | None = None):
     """Rank-normalized folded values in FOLD-SORTED order, with positions.
 
     ``xs``/``order``: the bulk transform's sort of ``x``; ``med``: (P,)
@@ -123,10 +171,18 @@ def folded_rank_values_sorted(xs, order, med):
     reductions of the folded transform (tail R-hat's split-chain moments,
     ops/seghist.py) skip a full payload sort (~190 ms per 1.28M x 64 block,
     PERF.md).
+
+    ``merge``: ``None`` uses a plain payload ``lax.sort``; ``"two_sort"``
+    sorts the folded valley with the two-axis bitonic-merge decomposition
+    (:func:`valley_sort_2d`, 2.06x on v5e) — bit-identical keys, tie order
+    free (tied ranks are averaged downstream).
     """
     n = xs.shape[0]
     folded = jnp.abs(xs - med[None, :])
-    fs, forder = _sort_pair(folded, order)
+    if merge == "two_sort":
+        fs, forder = valley_sort_2d(folded, order)
+    else:
+        fs, forder = _sort_pair(folded, order)
     zf_sorted = ndtri((_avg_ranks_sorted(fs) - 0.375) / (n + 0.25))
     return zf_sorted, forder
 
