@@ -12,15 +12,23 @@ chain shard, exactly like chains staying where the sampler left them), and
 every cross-chain statistic rides the psum/all_gather/ppermute collectives
 inside ``ess_rhat_sharded``.
 
+Environment note: the axon TPU plugin is injected via ``PYTHONPATH``
+(``sitecustomize.py``) and force-sets ``JAX_PLATFORMS=axon``, which is why a
+plain ``JAX_PLATFORMS=cpu`` is ignored (round-3 verdict). The parent scrubs
+``PYTHONPATH`` from the worker environment so workers run pure-CPU JAX and
+``jax.devices()`` is exactly the N-process global CPU device list.
+
 Usage (parent spawns the workers):
 
     python benchmarks/multihost.py --procs 2 [--out benchmarks/multihost.json]
 
 Weak scaling: the per-process block (draws x chains_local x params) is held
 fixed while total chains grow with the process count, mirroring scaling.py so
-the two harnesses' numbers are directly comparable. The parity check asserts
-the N-process sharded result matches a single-process run of the same global
-sample to float32 tolerance.
+the two harnesses' numbers are directly comparable. Worker 0 ASSERTS the
+N-process sharded result matches a single-process run of the same global
+sample (rel ESS error < 1e-3, abs R-hat error < 1e-5 — float32 collective
+reassociation tolerance) and exits nonzero on violation; the parent checks
+every worker's exit code.
 
 No reference counterpart: the reference is single-process
 (/root/reference/src has no distributed code; SURVEY.md section 5).
@@ -33,10 +41,13 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 DRAWS, CHAINS_LOCAL, PARAMS = 5000, 8, 16
 PORT = 17835
+ESS_RTOL = 1e-3
+RHAT_ATOL = 1e-5
 
 
 def _worker(num_procs: int, pid: int, port: int) -> None:
@@ -49,13 +60,16 @@ def _worker(num_procs: int, pid: int, port: int) -> None:
     )
     import numpy as np
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from mcmcdiagnostictools_jl_tpu.parallel import ess_rhat_sharded, make_mesh
 
     devices = jax.devices()
-    assert len(devices) == num_procs, (len(devices), num_procs)
+    assert len(devices) == num_procs, (
+        f"expected {num_procs} global devices, got {devices}; "
+        "was PYTHONPATH scrubbed (axon sitecustomize)?"
+    )
     cfg = make_mesh(chain_shards=num_procs, param_shards=1, devices=devices)
 
     # same-seeded global sample; make_array_from_callback materializes only
@@ -101,6 +115,12 @@ def _worker(num_procs: int, pid: int, port: int) -> None:
             "rel_err_ess_vs_single_process": err_ess,
             "abs_err_rhat_vs_single_process": err_rhat,
         }), flush=True)
+        assert err_ess < ESS_RTOL, (
+            f"multi-host ESS diverged from single-process: {err_ess}"
+        )
+        assert err_rhat < RHAT_ATOL, (
+            f"multi-host R-hat diverged from single-process: {err_rhat}"
+        )
     jax.distributed.shutdown()
 
 
@@ -108,6 +128,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--_worker", type=int, default=None, help="internal")
     ap.add_argument("--_port", type=int, default=PORT, help="internal")
     args = ap.parse_args()
@@ -118,22 +139,56 @@ def main() -> None:
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon plugin rides in via PYTHONPATH sitecustomize and overrides
+    # JAX_PLATFORMS; scrub it so workers get plain CPU jax
+    env.pop("PYTHONPATH", None)
     env.pop("XLA_FLAGS", None)  # one device per process — no virtual devices
     procs = []
-    for pid in range(args.procs):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--procs", str(args.procs), "--_worker", str(pid),
-             "--_port", str(args._port)],
-            stdout=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL if pid else None,
-            env=env, text=True,
-        ))
-    out, _ = procs[0].communicate(timeout=900)
-    for p in procs[1:]:
-        p.wait(timeout=60)
-    line = [l for l in out.splitlines() if l.startswith("{")][-1]
-    result = json.loads(line)
+    errfiles = []
+    try:
+        for pid in range(args.procs):
+            ef = tempfile.NamedTemporaryFile(
+                mode="w+", prefix=f"multihost{pid}_", suffix=".err",
+                delete=False,
+            )
+            errfiles.append(ef)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--procs", str(args.procs), "--_worker", str(pid),
+                 "--_port", str(args._port)],
+                stdout=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
+                stderr=ef, env=env, text=True,
+            ))
+        out, _ = procs[0].communicate(timeout=args.timeout)
+        for p in procs[1:]:
+            p.wait(timeout=60)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+
+    failed = [i for i, p in enumerate(procs) if p.returncode != 0]
+    if failed:
+        for i in failed:
+            errfiles[i].seek(0)
+            tail = errfiles[i].read()[-2000:]
+            print(f"--- worker {i} exit {procs[i].returncode} stderr tail ---\n"
+                  f"{tail}", file=sys.stderr)
+        raise SystemExit(f"multihost workers failed: {failed}")
+
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"worker 0 produced no JSON; stdout:\n{out[-2000:]}",
+              file=sys.stderr)
+        raise SystemExit(1)
+    result = json.loads(lines[-1])
+    result["parity_asserted"] = {"ess_rtol": ESS_RTOL, "rhat_atol": RHAT_ATOL}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as fh:

@@ -9,22 +9,36 @@ Configs (BASELINE.md):
 1. rank-normalized split-R-hat + bulk/tail ESS, 4 chains x 1000 draws iid
 2. MCSE (mean/std/quantile) + BFMI on a stored 8-chain HMC 8-schools trace
 3. full classical suite batched over 100 params x 8 chains x 10k draws
-4. large batched ESS/R-hat: up to 1000 params x 128 chains x 10k draws
+   (discretediag at FULL scale: 100 params, nsim=1000)
+4. large batched ESS/R-hat: up to 1000 params x 128 chains x 10k draws,
+   exact and histogram-fast rank modes
 5. many-chain regime: nested R-hat + R* over 10k chains (single chip here;
    the cross-host variant runs via parallel.ess_rhat_sharded on a pod slice)
+
+Crash isolation (round-4, after the round-3 OOM cascade destroyed the
+end-of-round artifact): every config runs in its OWN SUBPROCESS — an OOM or
+wedged compile in one config cannot poison another's device state; the
+config-4 OOM ladder frees the failed size's buffers before retrying; and
+results MERGE into the existing report (a failed re-run records its error
+under ``last_error`` but never overwrites a previously valid entry). The
+report is flushed to disk after every config.
 """
 
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+CONFIG_TIMEOUT_S = 2400.0
 
 
 def _force(out):
@@ -115,11 +129,16 @@ def config3():
     t0 = time.perf_counter()
     rafterydiag_batch(x)  # vectorized host path, all 800 series
     out["wall_s_raftery_800series"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    # discretediag at FULL config-3 scale (round-3 verdict item 6: the
+    # 20-param/nsim=200 cap is gone)
     from mcmcdiagnostictools_jl_tpu.diagnostics.discretediag import discretediag
-    xd = np.digitize(x[:, :, :20], [-1.0, 0.0, 1.0])  # 4-category codes
-    discretediag(xd, nsim=200)
-    out["wall_s_discretediag_20params"] = time.perf_counter() - t0
+    xd = np.digitize(x, [-1.0, 0.0, 1.0])  # 4-category codes, all 100 params
+    t0 = time.perf_counter()
+    discretediag(xd, nsim=1000)
+    out["wall_s_discretediag_weiss_full"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    discretediag(xd, method="billingsleyBOOT", nsim=1000)
+    out["wall_s_discretediag_billingsleyBOOT_full"] = time.perf_counter() - t0
     dt, _ = _timed(lambda: mdt.gelmandiag(x))
     out["wall_s_gelman"] = dt
     return out
@@ -127,31 +146,47 @@ def config3():
 
 def config4():
     import jax
+    import jax.numpy as jnp
     import mcmcdiagnostictools_jl_tpu as mdt
 
     rng = np.random.default_rng(0)
     results = {}
     for params in (1000, 512, 256):
+        x = None
         try:
-            xs = [
-                jax.device_put(
-                    rng.standard_normal((10_000, 128, params)).astype(
-                        np.float32
-                    )
-                )
-                for _ in range(2)
-            ]
-            it = iter(xs * 2)
-            dt, _ = _timed(
-                lambda x: mdt.ess_rhat(x, kind="rank", param_chunk=64),
-                repeats=2, fresh=lambda: next(it),
+            # ONE resident input; each timed repeat rescales it by a distinct
+            # scalar inside the measured executable — distinct (executable,
+            # args) pairs defeat result caching without a second 5 GB buffer
+            # (round-3 verdict: the two-copy ladder OOMed and the retained
+            # buffers poisoned every smaller retry)
+            x = jax.device_put(
+                rng.standard_normal((10_000, 128, params)).astype(np.float32)
             )
+            scales = iter(np.float32(1.0 + 1e-6 * i) for i in range(100))
+
+            def run_exact(c):
+                return mdt.ess_rhat(jnp.asarray(c) * x, kind="rank",
+                                    param_chunk=64)
+
+            def run_fast(c):
+                return mdt.ess_rhat(jnp.asarray(c) * x, kind="rank",
+                                    rank_mode="fast", param_chunk=128)
+
+            dt, _ = _timed(run_exact, repeats=2, fresh=lambda: next(scales))
             results["params"] = params
-            results["wall_s_rank"] = dt
-            results["param_draws_per_s"] = 10_000 * params / dt
+            results["wall_s_rank_exact"] = dt
+            results["param_draws_per_s_exact"] = 10_000 * params / dt
+            dt_f, _ = _timed(run_fast, repeats=2, fresh=lambda: next(scales))
+            results["wall_s_rank_fast"] = dt_f
+            results["param_draws_per_s_fast"] = 10_000 * params / dt_f
             break
         except Exception as e:  # noqa: BLE001 - OOM ladder
             results[f"skipped_{params}"] = str(e)[:120]
+            # free the failed size's buffers BEFORE the next attempt — the
+            # round-3 ladder kept them alive and every retry inherited a
+            # poisoned HBM
+            del x
+            gc.collect()
     return results
 
 
@@ -180,27 +215,81 @@ def config5():
     }
 
 
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+
+
+def _run_one(key: str) -> None:
+    """Subprocess entry: run one config, print its JSON on the last line."""
+    t0 = time.perf_counter()
+    try:
+        result = CONFIGS[key]()
+    except Exception as e:  # noqa: BLE001
+        result = {"error": repr(e)[:300]}
+    result["total_s_incl_compile"] = time.perf_counter() - t0
+    try:
+        import jax
+
+        result["device"] = str(jax.devices()[0])
+    except Exception:  # noqa: BLE001
+        pass
+    print("RESULT:" + json.dumps(result), flush=True)
+
+
+def _merge(report: dict, key: str, new: dict) -> None:
+    """Merge a config result: never overwrite a valid entry with a failure."""
+    old = report["configs"].get(key)
+    if "error" in new and old and "error" not in old:
+        old["last_error"] = new["error"]
+        old["last_error_total_s"] = new.get("total_s_incl_compile")
+        return
+    report["configs"][key] = new
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/report.json")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--timeout", type=float, default=CONFIG_TIMEOUT_S)
+    ap.add_argument("--_one", default=None, help="internal: run one config")
     args = ap.parse_args()
 
-    import jax
+    if args._one is not None:
+        _run_one(args._one)
+        return
 
-    report = {"device": str(jax.devices()[0]), "configs": {}}
-    fns = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+    report = {"configs": {}}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            try:
+                report = json.load(fh)
+            except json.JSONDecodeError:
+                pass
+    report.setdefault("configs", {})
+
     for key in args.configs.split(","):
-        t0 = time.perf_counter()
+        # each config gets a FRESH process (and a fresh TPU client): an OOM
+        # or degraded compile service in one config cannot poison the rest
         try:
-            report["configs"][key] = fns[key]()
-        except Exception as e:  # noqa: BLE001
-            report["configs"][key] = {"error": repr(e)[:300]}
-        report["configs"][key]["total_s_incl_compile"] = time.perf_counter() - t0
-        print(f"config {key}: {json.dumps(report['configs'][key])}", flush=True)
-
-    with open(args.out, "w") as fh:
-        json.dump(report, fh, indent=2)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_one", key],
+                capture_output=True, text=True, timeout=args.timeout,
+            )
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("RESULT:")]
+            if lines:
+                result = json.loads(lines[-1][len("RESULT:"):])
+            else:
+                result = {"error": "no result line; stderr tail: "
+                          + proc.stderr[-200:]}
+        except subprocess.TimeoutExpired:
+            result = {"error": f"timeout after {args.timeout}s"}
+        _merge(report, key, result)
+        if "device" in result:
+            report["device_last_run"] = result["device"]
+        print(f"config {key}: {json.dumps(result)}", flush=True)
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=2)
     print("wrote", args.out)
 
 

@@ -38,6 +38,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.autocov import mean_autocov_curve
+from ..ops.fastrank import (
+    DEFAULT_NBINS,
+    build_hist_cdf,
+    fast_rank_bulk_tail,
+    fast_rank_normalize,
+    fast_rank_normalize_flat,
+    hist_quantile,
+    resolve_fast_impl,
+)
 from ..ops.geyer import geyer_ess_from_rho
 from ..ops.moments import chain_stats, fused_chain_stats_autocov
 from ..ops.ranknorm import (
@@ -310,17 +319,84 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
 # ---------------------------------------------------------------------------
 
 
+def _fast_tail_rhat(z_tail, split_chains: int):
+    """Tail R-hat in fast mode: ``z_tail`` is already in (draw, chain, P)
+    order (no seghist routing needed — the histogram transform is in-place)."""
+    return chain_stats(split_chains_reshape(z_tail, split_chains)).rhat
+
+
+def _fast_kind_pipeline(
+    x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
+    q: float | None, nbins: int, fast_impl: str = "xla",
+):
+    """Histogram/CDF fast-mode bulk/tail/rank kinds (ops/fastrank.py).
+
+    Zero sorts: both rank transforms happen element-in-place from the
+    histogram CDF, and the tail R-hat reduces the fold transform directly in
+    (draw, chain) order. Approximation bound documented in ops/fastrank.py.
+    """
+    if kind == "bulk":
+        return _basic_ess_rhat(
+            fast_rank_normalize(x3, nbins, impl=fast_impl), split_chains,
+            maxlag, method, relative,
+        )
+    d, c, p = x3.shape
+    if kind == "tail":
+        tail_prob = 0.1 if q is None else q
+        xf = x3.reshape(d * c, p)
+        cdf = build_hist_cdf(xf, nbins, impl=fast_impl)
+        t_lo, t_hi, med = hist_quantile(
+            cdf, (tail_prob / 2, 1 - tail_prob / 2, 0.5), nbins
+        )
+        proxies = jnp.concatenate(
+            [_indicator_leq(x3, t_lo), _indicator_leq(x3, t_hi)], axis=2
+        )
+        ess2, _ = _basic_ess_rhat(proxies, split_chains, maxlag, method,
+                                  relative)
+        ess = jnp.minimum(ess2[:p], ess2[p:])
+        folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
+        z_tail, _ = fast_rank_normalize_flat(folded, nbins, impl=fast_impl)
+        z_tail = jnp.where(cdf.bad[None, :], jnp.nan, z_tail)
+        rhat_tail = _fast_tail_rhat(z_tail.reshape(d, c, p), split_chains)
+        return ess, rhat_tail
+    if kind == "rank":
+        z_bulk, z_tail, _ = fast_rank_bulk_tail(x3, nbins, impl=fast_impl)
+        ess_bulk, rhat_bulk = _basic_ess_rhat(
+            z_bulk, split_chains, maxlag, method, relative
+        )
+        rhat_tail = _fast_tail_rhat(z_tail, split_chains)
+        return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
+    raise ValueError(f"unsupported fast-mode kind {kind!r}")
+
+
+def _fast_rhat_pipeline(x3, *, kind: str, split_chains: int, nbins: int,
+                        fast_impl: str = "xla"):
+    if kind == "bulk":
+        return _basic_rhat(fast_rank_normalize(x3, nbins, impl=fast_impl),
+                           split_chains)
+    z_bulk, z_tail, _ = fast_rank_bulk_tail(x3, nbins, impl=fast_impl)
+    if kind == "tail":
+        return _fast_tail_rhat(z_tail, split_chains)
+    if kind == "rank":
+        return jnp.maximum(
+            _fast_tail_rhat(z_tail, split_chains),
+            _basic_rhat(z_bulk, split_chains),
+        )
+    raise ValueError(f"unsupported fast-mode kind {kind!r}")
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "kind", "split_chains", "maxlag", "method", "relative", "q",
-        "param_chunk", "fold_merge",
+        "param_chunk", "fold_merge", "rank_mode", "rank_nbins", "fast_impl",
     ),
 )
 def _ess_rhat_pipeline(
     x3, *, kind: str, split_chains: int, maxlag: int, method, relative: bool,
     q: float | None = None, param_chunk: int | None = None,
-    fold_merge: str | None = None,
+    fold_merge: str | None = None, rank_mode: str = "exact",
+    rank_nbins: int = DEFAULT_NBINS, fast_impl: str = "xla",
 ):
     """Full ess/rhat pipeline for one symbolic or estimator kind.
 
@@ -330,6 +406,10 @@ def _ess_rhat_pipeline(
     ``param_chunk`` bounds peak memory: the parameter axis is processed in
     chunks of that size with ``lax.map`` (each chunk still saturates the
     chip; every kernel is per-parameter independent, so chunking is exact).
+
+    ``rank_mode="fast"`` routes the sort-based kinds (bulk/tail/rank) through
+    the histogram/CDF transform (ops/fastrank.py) — sort-free, approximate to
+    a documented bound; exact mode is the default.
     """
     nparams = x3.shape[2]
     if param_chunk is not None and nparams > param_chunk:
@@ -344,10 +424,18 @@ def _ess_rhat_pipeline(
             return _ess_rhat_pipeline(
                 xc, kind=kind, split_chains=split_chains, maxlag=maxlag,
                 method=method, relative=relative, q=q, fold_merge=fold_merge,
+                rank_mode=rank_mode, rank_nbins=rank_nbins,
+                fast_impl=fast_impl,
             )
 
         ess_c, rhat_c = jax.lax.map(one_chunk, chunks)
         return ess_c.reshape(-1)[:nparams], rhat_c.reshape(-1)[:nparams]
+    if rank_mode == "fast" and kind in ("bulk", "tail", "rank"):
+        return _fast_kind_pipeline(
+            x3, kind=kind, split_chains=split_chains, maxlag=maxlag,
+            method=method, relative=relative, q=q, nbins=rank_nbins,
+            fast_impl=fast_impl,
+        )
     if kind == "basic":
         return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
     if kind == "bulk":
@@ -392,9 +480,14 @@ def _ess_rhat_pipeline(
     raise ValueError(f"unsupported kind {kind!r}")
 
 
-@partial(jax.jit, static_argnames=("kind", "split_chains", "fold_merge"))
+@partial(jax.jit, static_argnames=("kind", "split_chains", "fold_merge",
+                                   "rank_mode", "rank_nbins", "fast_impl"))
 def _rhat_pipeline(x3, *, kind: str, split_chains: int,
-                   fold_merge: str | None = None):
+                   fold_merge: str | None = None, rank_mode: str = "exact",
+                   rank_nbins: int = DEFAULT_NBINS, fast_impl: str = "xla"):
+    if rank_mode == "fast" and kind in ("bulk", "tail", "rank"):
+        return _fast_rhat_pipeline(x3, kind=kind, split_chains=split_chains,
+                                   nbins=rank_nbins, fast_impl=fast_impl)
     if kind == "basic":
         return _basic_rhat(x3, split_chains)
     if kind == "bulk":
@@ -425,6 +518,13 @@ def _rhat_pipeline(x3, *, kind: str, split_chains: int,
 def _check_maxlag(maxlag: int):
     if maxlag <= 0:
         raise ValueError("maxlag must be >0.")
+
+
+def _check_rank_mode(rank_mode: str):
+    if rank_mode not in ("exact", "fast"):
+        raise ValueError(
+            f"rank_mode must be 'exact' or 'fast', got {rank_mode!r}"
+        )
 
 
 def _niter_after_split(ndraws: int, split_chains: int) -> int:
@@ -466,6 +566,8 @@ def ess(
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
     fold_impl: str = "auto",
+    rank_mode: str = "exact",
+    rank_nbins: int = DEFAULT_NBINS,
 ):
     """Effective sample size of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
@@ -474,7 +576,14 @@ def ess(
     (``"mean"``/``"median"``/``"std"``/``"mad"``), or ``Quantile(p)``.
     ``relative=True`` returns ESS / (draws*chains). Scalar for <=2-d input,
     array shaped like the parameter dims otherwise.
+
+    ``rank_mode="fast"`` replaces the sort-based rank/quantile transforms of
+    the bulk/tail kinds with the histogram/CDF approximation over
+    ``rank_nbins`` bins (ops/fastrank.py; sort-free, ~2-4x faster on TPU,
+    error bound documented there). ``"exact"`` (default) keeps reference
+    bit-semantics.
     """
+    _check_rank_mode(rank_mode)
     x3, pshape = canonicalize(samples)
     pipeline_kind, q = _normalize_estimator(kind)
     if pipeline_kind == "tail":
@@ -497,22 +606,31 @@ def ess(
         q=q,
         param_chunk=param_chunk,
         fold_merge=_resolve_fold_merge(x3, fold_impl),
+        rank_mode=rank_mode,
+        rank_nbins=rank_nbins,
+        fast_impl=resolve_fast_impl(x3),
     )
     return maybe_scalar(ess_vals, pshape)
 
 
 def rhat(samples, *, kind: str = "rank", split_chains: int = 2,
-         fold_impl: str = "auto"):
+         fold_impl: str = "auto", rank_mode: str = "exact",
+         rank_nbins: int = DEFAULT_NBINS):
     """R-hat of ``samples`` shaped ``(draws[, chains[, params...]])``.
 
     Mirrors the reference ``rhat`` (src/ess_rhat.jl:313-420). ``kind`` is one
     of ``"rank"`` (default), ``"bulk"``, ``"tail"``, ``"basic"``.
+    ``rank_mode="fast"`` uses the sort-free histogram/CDF rank transform
+    (ops/fastrank.py).
     """
     if kind not in _RHAT_KINDS:
         raise ValueError(f"the `kind` `{kind}` is not supported by `rhat`")
+    _check_rank_mode(rank_mode)
     x3, pshape = canonicalize(samples)
     vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains,
-                          fold_merge=_resolve_fold_merge(x3, fold_impl))
+                          fold_merge=_resolve_fold_merge(x3, fold_impl),
+                          rank_mode=rank_mode, rank_nbins=rank_nbins,
+                          fast_impl=resolve_fast_impl(x3))
     return maybe_scalar(vals, pshape)
 
 
@@ -527,15 +645,21 @@ def ess_rhat(
     tail_prob: float = 0.1,
     param_chunk: int | None = None,
     fold_impl: str = "auto",
+    rank_mode: str = "exact",
+    rank_nbins: int = DEFAULT_NBINS,
 ):
     """Joint ESS and R-hat (more efficient than separate calls).
 
     Mirrors the reference ``ess_rhat`` (src/ess_rhat.jl:422-487,604-624):
     ``"rank"`` returns ess=bulk-ESS and rhat=max(bulk, tail); ``"tail"``
     returns the tail pair; plus ``"bulk"`` and ``"basic"``.
+    ``rank_mode="fast"`` uses the sort-free histogram/CDF rank transform
+    (ops/fastrank.py; error bound documented there); ``"exact"`` (default)
+    keeps reference bit-semantics.
     """
     if kind not in _RHAT_KINDS:
         raise ValueError(f"the `kind` `{kind}` is not supported by `ess_rhat`")
+    _check_rank_mode(rank_mode)
     x3, pshape = canonicalize(samples)
     _check_maxlag(maxlag)
     niter = _niter_after_split(x3.shape[0], split_chains)
@@ -543,7 +667,9 @@ def ess_rhat(
         _warn_short(niter)
         ess_vals = jnp.full(x3.shape[2], jnp.nan, x3.dtype)
         rhat_vals = _rhat_pipeline(x3, kind=kind, split_chains=split_chains,
-                                   fold_merge=_resolve_fold_merge(x3, fold_impl))
+                                   fold_merge=_resolve_fold_merge(x3, fold_impl),
+                                   rank_mode=rank_mode, rank_nbins=rank_nbins,
+                                   fast_impl=resolve_fast_impl(x3))
         return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
     eff_maxlag = min(maxlag, niter - 4)
     q = tail_prob if kind == "tail" else None
@@ -557,6 +683,9 @@ def ess_rhat(
         q=q,
         param_chunk=param_chunk,
         fold_merge=_resolve_fold_merge(x3, fold_impl),
+        rank_mode=rank_mode,
+        rank_nbins=rank_nbins,
+        fast_impl=resolve_fast_impl(x3),
     )
     return ESSRhat(maybe_scalar(ess_vals, pshape), maybe_scalar(rhat_vals, pshape))
 

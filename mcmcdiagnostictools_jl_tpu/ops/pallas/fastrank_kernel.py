@@ -1,0 +1,248 @@
+"""Pallas TPU kernels for the histogram/CDF fast rank mode.
+
+The XLA radix-matmul formulation (ops/fastrank.py) is HBM-bound: the digit
+one-hot operands are materialized per scan chunk (~40 GB of traffic at the
+bench shape — measured ~50 ms per histogram pass and ~80 ms per table-lookup
+pass on v5e). These kernels build the one-hots in VMEM and feed the MXU
+directly, so each pass reads the sample once (~0.3 GB):
+
+- ``pallas_hist_moments``: per-column bin counts + within-bin frac sums.
+  For each sample row-block, the coarse/fine digit one-hots contract on the
+  MXU (count pass in bf16 — exact 0/1 products, f32 accumulation; moment
+  pass in f32) and accumulate into a VMEM-resident (P, kc, kf) output that
+  is revisited across the row grid.
+- ``pallas_rank_lookup``: per-element mean-anchored interpolated rank. The
+  W=3 per-bin tables (prefix count, bin count, anchor offset) live in VMEM
+  as a (P, W*kf, kc) block; the coarse one-hot contracts against them on the
+  MXU and the fine one-hot selects the digit with a VPU reduction.
+
+Layout: both kernels take the sample TRANSPOSED, ``(P, N)`` — parameters on
+sublanes, elements on lanes — so the per-parameter loop is a cheap dynamic
+sublane slice (dynamic LANE indexing would force relayouts). The transposes
+are single XLA passes (~1 ms/GB), amortized by the sort-free pipeline.
+
+Numerics are identical to the XLA path up to f32 accumulation order.
+Reference semantics being approximated: src/utils.jl:169-193 (tiedrank +
+Blom + norminvcdf); the approximation bound is documented in ops/fastrank.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# elements (lanes) per grid step
+_ROW_BLOCK = 2048
+# parameters (sublanes) per grid step
+_PBLOCK = 64
+# fine-digit width: 128 lanes-native; the lookup kernel's MXU work scales
+# with W * nbins independent of the split, but the coarse one-hot build
+# scales with kc, so a wide fine digit is cheaper overall
+_KF = 128
+
+
+def _digit_split(nbins: int):
+    kf = min(_KF, nbins)
+    kc = nbins // kf
+    assert kc * kf == nbins, (nbins, kf)
+    return kc, kf
+
+
+def _bins_row(x, lo, scale, nbins: int, valid):
+    """Bin index (int32) and within-bin frac for a (1, I) row.
+
+    Invalid (padding) lanes get bin id ``nbins`` — out of coarse range, so
+    both digit one-hots are all-zero and they contribute nothing. (Computed
+    per parameter row because Mosaic only supports dynamic slicing through
+    refs, not on loaded arrays.)
+    """
+    s = (x - lo) * scale
+    s = jnp.clip(s, 0.0, float(nbins))
+    b = jnp.clip(s.astype(jnp.int32), 0, nbins - 1)
+    frac = s - b.astype(s.dtype)
+    b = jnp.where(valid, b, nbins)
+    return b, frac
+
+
+def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, *,
+                 nbins: int, nvalid: int, pblock: int):
+    """Grid: (pblocks, nchunks) — row chunks innermost, outputs revisited."""
+    kc, kf = _digit_split(nbins)
+    j = pl.program_id(1)
+    nrows = x_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
+    valid = j * nrows + lane < nvalid
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc, nrows), 0)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (kf, nrows), 0)
+
+    def body(p, _):
+        b, frac = _bins_row(
+            x_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
+            scale_ref[pl.ds(p, 1), :], nbins, valid,
+        )
+        ac = iota_c == b // kf  # (kc, I)
+        af = iota_f == b % kf  # (kf, I)
+        cnt = jax.lax.dot_general(
+            ac.astype(jnp.bfloat16),
+            af.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s1 = jax.lax.dot_general(
+            jnp.where(ac, frac, 0.0),
+            af.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cnt_ref[pl.ds(p, 1)] += cnt[None]
+        s1_ref[pl.ds(p, 1)] += s1[None]
+        return 0
+
+    jax.lax.fori_loop(0, pblock, body, 0, unroll=False)
+
+
+def pallas_hist_moments(xt, lo, scale, nbins: int, *,
+                        interpret: bool = False,
+                        row_block: int = _ROW_BLOCK):
+    """Per-column bin counts and frac sums from a transposed (P, N) sample.
+
+    ``lo``/``scale``: (P,) range mapping (scale = nbins / (hi - lo), 0 for
+    degenerate columns). Returns ``(cnt, s1)`` of shape (nbins, P), f32.
+    """
+    p, n = xt.shape
+    kc, kf = _digit_split(nbins)
+    ppad = (-p) % _PBLOCK
+    npad = (-n) % row_block
+    xt = jnp.pad(xt, ((0, ppad), (0, npad)))
+    lo2 = jnp.pad(lo.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    sc2 = jnp.pad(scale.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    ptot = p + ppad
+    pblocks = ptot // _PBLOCK
+    nchunks = (n + npad) // row_block
+
+    cnt, s1 = pl.pallas_call(
+        functools.partial(_hist_kernel, nbins=nbins, nvalid=n,
+                          pblock=_PBLOCK),
+        grid=(pblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_PBLOCK, kc, kf), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, kc, kf), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ptot, kc, kf), jnp.float32),
+            jax.ShapeDtypeStruct((ptot, kc, kf), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * ptot * (n + npad) * nbins,
+            bytes_accessed=ptot * (n + npad) * 4 + 2 * ptot * nbins * 4,
+            transcendentals=0,
+        ),
+    )(xt, lo2, sc2)
+    # (P, kc, kf) -> (nbins, P)
+    cnt = cnt[:p].reshape(p, nbins).T
+    s1 = s1[:p].reshape(p, nbins).T
+    return cnt, s1
+
+
+def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, *,
+                   nbins: int, pblock: int):
+    """tab_ref: (Pb, 3*kf, kc) — [c_lo; cnt; off] stacked along the fine
+    axis; out_ref: (Pb, I) mean-anchored ranks."""
+    kc, kf = _digit_split(nbins)
+    nrows = x_ref.shape[1]
+    valid = jnp.ones((1, nrows), dtype=bool)  # padding sliced off by caller
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc, nrows), 0)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (kf, nrows), 0)
+
+    def body(p, _):
+        b, frac = _bins_row(
+            x_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
+            scale_ref[pl.ds(p, 1), :], nbins, valid,
+        )
+        ac = (iota_c == b // kf).astype(jnp.float32)  # (kc, I)
+        af = (iota_f == b % kf).astype(jnp.float32)  # (kf, I)
+        rows = jax.lax.dot_general(
+            tab_ref[pl.ds(p, 1)][0],  # (3*kf, kc)
+            ac,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3*kf, I)
+        c_lo = jnp.sum(rows[0 * kf:1 * kf, :] * af, axis=0, keepdims=True)
+        cnt = jnp.sum(rows[1 * kf:2 * kf, :] * af, axis=0, keepdims=True)
+        off = jnp.sum(rows[2 * kf:3 * kf, :] * af, axis=0, keepdims=True)
+        g = jnp.clip(frac * cnt + off, 0.0, cnt)
+        out_ref[pl.ds(p, 1), :] = c_lo + g + 0.5
+        return 0
+
+    jax.lax.fori_loop(0, pblock, body, 0, unroll=False)
+
+
+def pallas_rank_lookup(xt, lo, scale, tables, nbins: int, *,
+                       interpret: bool = False,
+                       row_block: int = _ROW_BLOCK):
+    """Mean-anchored interpolated ranks of a transposed (P, N) sample.
+
+    ``tables``: (3, nbins, P) — [prefix count C, bin count, anchor offset
+    cnt*(1/2 - fm)]. Returns (P, N) ranks (before the +degenerate override,
+    which the caller applies with the Blom/ndtri step).
+    """
+    p, n = xt.shape
+    kc, kf = _digit_split(nbins)
+    ppad = (-p) % _PBLOCK
+    npad = (-n) % row_block
+    xt = jnp.pad(xt, ((0, ppad), (0, npad)))
+    lo2 = jnp.pad(lo.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    sc2 = jnp.pad(scale.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    ptot = p + ppad
+    # (3, nbins, P) -> (P, 3, kf, kc) -> (P, 3*kf, kc)
+    tab = jnp.pad(tables.astype(jnp.float32), ((0, 0), (0, 0), (0, ppad)))
+    tab = tab.reshape(3, kc, kf, ptot).transpose(3, 0, 2, 1)
+    tab = tab.reshape(ptot, 3 * kf, kc)
+    pblocks = ptot // _PBLOCK
+    nchunks = (n + npad) // row_block
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, nbins=nbins, pblock=_PBLOCK),
+        grid=(pblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PBLOCK, 3 * kf, kc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ptot, n + npad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ptot * (n + npad) * 3 * nbins,
+            bytes_accessed=ptot * (n + npad) * 8 + 3 * ptot * nbins * 4,
+            transcendentals=0,
+        ),
+    )(xt, lo2, sc2, tab)
+    return out[:p, :n]

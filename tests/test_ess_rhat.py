@@ -93,6 +93,7 @@ class TestAutocovMethods:
         direct = np.asarray(mdt.ess(x, kind="basic", autocov_method=AutocovMethod()))
         np.testing.assert_allclose(direct, base, rtol=1e-8)
 
+    @pytest.mark.slow
     def test_bda_larger_variance_iid(self, rng):
         # BDA variogram estimator has larger variance on iid data
         # (reference test/ess_rhat.jl:238)
@@ -262,6 +263,7 @@ class TestParamChunking:
 
 
 class TestJitEagerParity:
+    @pytest.mark.slow
     def test_disable_jit_same_results(self, rng):
         # the "race detection" analogue of SURVEY.md section 5: compiled and
         # eager execution must agree

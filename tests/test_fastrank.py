@@ -1,0 +1,178 @@
+"""Fast-mode (histogram/CDF) rank transform: bound verification vs exact.
+
+The fast mode (ops/fastrank.py) replaces the exact sort-based rank pipeline
+with a fixed-width histogram CDF + mean-anchored within-bin interpolation.
+These tests pin its documented contract:
+
+- point masses (ties) and singleton bins are EXACT (tied-average ranks);
+- continuous samples stay within the occupancy/n quantile bound, which at
+  default nbins makes ESS/R-hat track the exact kind to <0.1%;
+- ranks are weakly monotone in the value; NaN poisoning, constant slices and
+  the degenerate guards match the exact path.
+"""
+
+import numpy as np
+import pytest
+
+import mcmcdiagnostictools_jl_tpu as mdt
+from mcmcdiagnostictools_jl_tpu.ops.fastrank import (
+    DEFAULT_NBINS,
+    build_hist_cdf,
+    fast_rank_normalize,
+    hist_quantile,
+    interpolated_ranks,
+)
+from mcmcdiagnostictools_jl_tpu.ops.ranknorm import (
+    batched_quantile,
+    rank_normalize,
+    tiedrank,
+)
+
+
+class TestRankValues:
+    def test_continuous_rank_bound(self, rng):
+        """|rank_fast - rank_exact| <= max mixed-bin occupancy."""
+        x = rng.standard_normal((4000, 4))
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        rfast = np.asarray(interpolated_ranks(x, cdf, DEFAULT_NBINS))
+        rexact = np.asarray(tiedrank(x))
+        occ = np.max(np.asarray(cdf.counts), axis=0)
+        assert np.all(np.abs(rfast - rexact) <= occ[None, :] + 0.5)
+
+    def test_discrete_ties_exact(self, rng):
+        """Point masses: tied-average ranks are exact (not just bounded)."""
+        x = rng.integers(0, 7, size=(3000, 3)).astype(float)
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        rfast = np.asarray(interpolated_ranks(x, cdf, DEFAULT_NBINS))
+        rexact = np.asarray(tiedrank(x))
+        # exact up to the f32 rounding of the stored bin-mean anchor
+        np.testing.assert_allclose(rfast, rexact, rtol=0, atol=1e-3)
+
+    def test_discrete_z_exact(self, rng):
+        x = rng.integers(0, 5, size=(500, 4, 3)).astype(float)
+        np.testing.assert_allclose(
+            np.asarray(fast_rank_normalize(x)),
+            np.asarray(rank_normalize(x)),
+            atol=1e-9,
+        )
+
+    def test_singletons_exact_when_bins_sparse(self, rng):
+        """Values spaced wider than a bin: every bin is a singleton -> exact
+        ranks (the mean anchor equals the element's own frac)."""
+        base = np.linspace(-3.0, 3.0, 200)
+        jitter = rng.uniform(-1e-4, 1e-4, size=(200, 2))
+        x = rng.permuted(base[:, None] + jitter, axis=0)
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        rfast = np.asarray(interpolated_ranks(x, cdf, DEFAULT_NBINS))
+        rexact = np.asarray(tiedrank(x))
+        np.testing.assert_allclose(rfast, rexact, atol=1e-3)
+
+    def test_monotone_in_value(self, rng):
+        x = np.sort(rng.standard_normal(5000))[:, None]
+        cdf = build_hist_cdf(x, 256)
+        r = np.asarray(interpolated_ranks(x, cdf, 256))[:, 0]
+        assert np.all(np.diff(r) >= -1e-6)
+
+    def test_mixed_continuous_and_point_mass(self, rng):
+        """A heavy point mass inside a continuous sample stays exact for the
+        tied group and bounded for the rest."""
+        cont = rng.standard_normal(2000)
+        x = np.concatenate([cont, np.full(1000, 0.5)])[:, None]
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        rfast = np.asarray(interpolated_ranks(x, cdf, DEFAULT_NBINS))[:, 0]
+        rexact = np.asarray(tiedrank(x))[:, 0]
+        tied = x[:, 0] == 0.5
+        # tied group: exact up to the few continuous values sharing the bin
+        assert np.max(np.abs(rfast[tied] - rexact[tied])) <= 5.0
+        occ = np.max(np.asarray(cdf.counts))
+        assert np.all(np.abs(rfast - rexact) <= occ + 0.5)
+
+
+class TestHistQuantile:
+    def test_continuous_quantiles(self, rng):
+        x = rng.standard_normal((20_000, 3))
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        qs = (0.05, 0.5, 0.95)
+        approx = np.asarray(hist_quantile(cdf, qs, DEFAULT_NBINS))
+        for i, q in enumerate(qs):
+            exact = np.asarray(batched_quantile(x[:, None, :], q))
+            width = np.asarray((cdf.hi - cdf.lo)) / DEFAULT_NBINS
+            assert np.all(np.abs(approx[i] - exact) <= width + 1e-9)
+
+    def test_discrete_median(self, rng):
+        x = rng.integers(0, 3, size=(999, 2)).astype(float)
+        cdf = build_hist_cdf(x, DEFAULT_NBINS)
+        med = np.asarray(hist_quantile(cdf, (0.5,), DEFAULT_NBINS))[0]
+        exact = np.median(x, axis=0)
+        width = np.asarray((cdf.hi - cdf.lo)) / DEFAULT_NBINS
+        assert np.all(np.abs(med - exact) <= width + 1e-9)
+
+
+class TestDiagnosticsParity:
+    @pytest.mark.parametrize("kind", ["rank", "bulk", "tail"])
+    def test_ess_rhat_tracks_exact(self, rng, kind):
+        x = rng.standard_normal((4000, 8, 5)) * 1.7 + 0.3
+        a = mdt.ess_rhat(x, kind=kind)
+        b = mdt.ess_rhat(x, kind=kind, rank_mode="fast")
+        tol = 5e-3 if kind == "tail" else 1e-3  # tail thresholds approximate
+        np.testing.assert_allclose(
+            np.asarray(b.ess), np.asarray(a.ess), rtol=tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.rhat), np.asarray(a.rhat), atol=1e-4
+        )
+
+    def test_rhat_fast(self, rng):
+        x = rng.standard_normal((2000, 4, 3))
+        np.testing.assert_allclose(
+            np.asarray(mdt.rhat(x, rank_mode="fast")),
+            np.asarray(mdt.rhat(x)),
+            atol=1e-4,
+        )
+
+    def test_ess_fast(self, rng):
+        x = rng.standard_normal((2000, 4, 3))
+        np.testing.assert_allclose(
+            np.asarray(mdt.ess(x, rank_mode="fast")),
+            np.asarray(mdt.ess(x)),
+            rtol=1e-3,
+        )
+
+    def test_nan_poisoning(self, rng):
+        x = rng.standard_normal((1000, 4, 3))
+        x[17, 2, 1] = np.nan
+        r = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        assert np.isnan(np.asarray(r.ess)[1]) and np.isnan(np.asarray(r.rhat)[1])
+        assert np.all(np.isfinite(np.asarray(r.ess)[[0, 2]]))
+
+    def test_constant_slice_nan(self, rng):
+        x = rng.standard_normal((1000, 4, 2))
+        x[:, :, 1] = 2.5
+        r = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        assert np.isnan(np.asarray(r.ess)[1]) and np.isnan(np.asarray(r.rhat)[1])
+
+    def test_param_chunk_consistent(self, rng):
+        x = rng.standard_normal((1000, 4, 6)).astype(np.float32)
+        a = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        b = mdt.ess_rhat(x, kind="rank", rank_mode="fast", param_chunk=2)
+        np.testing.assert_allclose(np.asarray(a.ess), np.asarray(b.ess),
+                                   rtol=1e-6)
+
+    def test_invalid_rank_mode(self, rng):
+        x = rng.standard_normal((100, 4))
+        with pytest.raises(ValueError, match="rank_mode"):
+            mdt.ess_rhat(x, rank_mode="banana")
+        with pytest.raises(ValueError, match="rank_mode"):
+            mdt.rhat(x, rank_mode="banana")
+        with pytest.raises(ValueError, match="rank_mode"):
+            mdt.ess(x, rank_mode="banana")
+
+    def test_ar1_statistical_sanity(self, rng):
+        """Fast-mode ESS on an AR(1) chain stays within a few percent of the
+        exact kind (both estimate the same asymptotic quantity)."""
+        from conftest import ar1
+
+        x = ar1(rng, 0.7, 1.0, (8000, 4, 2))
+        e = np.asarray(mdt.ess(x, kind="bulk"))
+        f = np.asarray(mdt.ess(x, kind="bulk", rank_mode="fast"))
+        np.testing.assert_allclose(f, e, rtol=1e-2)

@@ -15,6 +15,8 @@ import pytest
 
 from mcmcdiagnostictools_jl_tpu.models import GBTClassifier
 
+pytestmark = pytest.mark.slow
+
 
 def _split(rng, n):
     perm = rng.permutation(n)
@@ -109,4 +111,12 @@ class TestGBTvsSklearn:
         sc = chunked.fit(x[tr], y[tr], k)
         pd_ = np.asarray(dense.predict(sd, x[te]))
         pc_ = np.asarray(chunked.predict(sc, x[te]))
-        np.testing.assert_array_equal(pd_, pc_)
+        # the two paths reduce logits in different orders (argmax vs running
+        # max over class chunks), so compare labels only where the dense
+        # logits have a unique maximizer — an exact float tie may legally
+        # break either way (ADVICE round 3)
+        ld = np.asarray(dense.predict_logits(sd, x[te]))
+        sorted_logits = np.sort(ld, axis=1)
+        untied = sorted_logits[:, -1] > sorted_logits[:, -2]
+        assert untied.mean() > 0.99
+        np.testing.assert_array_equal(pd_[untied], pc_[untied])

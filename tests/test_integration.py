@@ -12,6 +12,8 @@ from mcmcdiagnostictools_jl_tpu.models import (
     hmc_sample,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cauchy_trace():

@@ -41,6 +41,32 @@ class TestPoissonBinomial:
         assert b.mean() == pytest.approx(2 * a.mean())
         assert b.std() == pytest.approx(2 * a.std())
 
+    def test_fft_tree_matches_dp(self):
+        # the large-n FFT polynomial-product pmf must agree with the exact
+        # O(n^2) DP (round-4: pmf is lazy + subquadratic)
+        from mcmcdiagnostictools_jl_tpu.models.poisson_binomial import (
+            _poisson_binomial_pmf_dp,
+            _poisson_binomial_pmf_fft,
+        )
+
+        rng = np.random.default_rng(3)
+        for n in (2, 3, 65, 1000):
+            p = rng.uniform(0, 1, n)
+            np.testing.assert_allclose(
+                _poisson_binomial_pmf_fft(p),
+                _poisson_binomial_pmf_dp(p),
+                rtol=0, atol=1e-12,
+            )
+
+    def test_pmf_is_lazy(self):
+        # construction and moments must not materialize the pmf
+        d = ScaledPoissonBinomial(np.full(100_000, 0.5), 1.0)
+        assert d._pmf_cache is None
+        d.mean(), d.var(), d.std()
+        assert d._pmf_cache is None
+        d.pdf(50_000.0)
+        assert d._pmf_cache is not None
+
 
 class TestRstar:
     def test_mixed_chains_near_one(self, rng):

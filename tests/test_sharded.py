@@ -170,6 +170,7 @@ class TestRingRank:
 
 
 @needs8
+@pytest.mark.slow
 class TestShardedStressShape:
     """Memory-meaningful shape: 10k draws x 64 chains x 16 params over 8
     shards (VERDICT round 2, item 7)."""

@@ -17,6 +17,8 @@ from mcmcdiagnostictools_jl_tpu.ops.ranknorm import (
     valley_sort_2d,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _fold_input(rng, n, p, ties=False, nan_cols=(), pivot_q=0.5):
     x = rng.standard_normal((n, p)).astype(np.float32)
