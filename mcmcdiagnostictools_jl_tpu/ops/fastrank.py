@@ -169,11 +169,11 @@ def histogram_moments(b, frac, nbins: int, chunk: int = _HIST_CHUNK):
         )
         return (cnt_acc + cnt, s1_acc + s1), None
 
-    acc0 = (
-        jnp.zeros((kc, kf, p), jnp.float32),
-        jnp.zeros((kc, kf, p), jnp.float32),
-    )
-    (cnt, s1), _ = jax.lax.scan(body, acc0, (bc, fr))
+    # derive the carry init from the input so its varying-manual-axes type
+    # matches the body output under shard_map (zeros alone are unvarying and
+    # the scan carry type check rejects the mix)
+    zero = jnp.zeros((kc, kf, p), jnp.float32) + 0.0 * fr[0, 0, 0]
+    (cnt, s1), _ = jax.lax.scan(body, (zero, zero), (bc, fr))
     return cnt.reshape(nbins, p), s1.reshape(nbins, p)
 
 

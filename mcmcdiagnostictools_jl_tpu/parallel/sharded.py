@@ -30,6 +30,13 @@ from jax.sharding import PartitionSpec as P
 
 from ..diagnostics.ess_rhat import ESSRhat, _method_name
 from ..ops.autocov import mean_autocov_curve
+from ..ops.fastrank import (
+    DEFAULT_NBINS,
+    build_hist_cdf,
+    hist_quantile,
+    interpolated_ranks,
+    z_from_ranks,
+)
 from ..ops.geyer import geyer_ess_from_rho
 from ..ops.ranknorm import (
     folded_rank_values_sorted,
@@ -313,6 +320,117 @@ def _ring_kernel(
     return ess_bulk, jnp.maximum(rhat_tail, rhat_bulk)
 
 
+# ---------------------------------------------------------------------------
+# histogram-mode rank kinds (gather-free, sort-free; ops/fastrank.py)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_minmax(xf, chain_axis: str):
+    """Global per-column (lo, hi, bad) across the chain shards.
+
+    Three tiny collectives (pmin/pmax/pmax) — together with the histogram
+    psum this is the ENTIRE communication cost of the distributed rank
+    transform, replacing the ring's k-1 rounds of 2N-row sorts or the
+    gather's O(chains_total) per-device footprint.
+    """
+    bad_loc = jnp.any(jnp.isnan(xf), axis=0)
+    bad = jax.lax.pmax(bad_loc.astype(jnp.int32), chain_axis) > 0
+    lo_loc = jnp.min(jnp.where(jnp.isnan(xf), jnp.inf, xf), axis=0)
+    hi_loc = jnp.max(jnp.where(jnp.isnan(xf), -jnp.inf, xf), axis=0)
+    lo = jax.lax.pmin(lo_loc, chain_axis)
+    hi = jax.lax.pmax(hi_loc, chain_axis)
+    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 1.0)
+    return lo, hi, bad
+
+
+def _sharded_fast_rank(xf, chain_axis: str, kshards: int, nbins: int,
+                       fast_impl: str):
+    """Global histogram CDF + local in-place rank transform.
+
+    Each shard histograms its local elements, ONE psum merges the bin
+    moments, and every element is transformed locally against the global
+    CDF — no element ever leaves its shard. Returns ``(z_local, cdf)``
+    with the approximation bound of ops/fastrank.py (global occupancy / n).
+    """
+    minmax = _sharded_minmax(xf, chain_axis)
+    n_global = xf.shape[0] * kshards
+    cdf = build_hist_cdf(
+        xf, nbins, minmax=minmax, psum_axis=chain_axis, n_global=n_global,
+        impl=fast_impl,
+    )
+    rank = interpolated_ranks(xf, cdf, nbins, impl=fast_impl)
+    return z_from_ranks(rank, cdf.n, cdf.bad), cdf
+
+
+def _local_rhat_psum(z3, split_chains: int, chain_axis: str, bad):
+    """Split R-hat of an in-(draw,chain)-order transform via psum algebra."""
+    samples = split_chains_reshape(z3, split_chains)
+    niter = samples.shape[0]
+    chain_mean = jnp.mean(samples, axis=0)
+    centered = samples - chain_mean[None]
+    chain_var = jnp.sum(centered * centered, axis=0) / (niter - 1)
+    vmin = jnp.min(samples, axis=(0, 1))
+    vmax = jnp.max(samples, axis=(0, 1))
+    rhat = _rhat_from_local_chain_moments(
+        chain_mean, chain_var, niter, vmin, vmax, chain_axis
+    )
+    return jnp.where(bad, jnp.nan, rhat)
+
+
+def _hist_kernel(
+    xb, *, kind, split_chains, maxlag, method, relative, q, chain_axis,
+    kshards, nbins, fast_impl,
+):
+    """Rank-kind ESS/R-hat with the histogram rank transform.
+
+    Sort-free AND gather-free: the only rank-transform communication is one
+    (nbins, P_local) psum of histogram moments (+ 3 scalar-vector
+    pmin/pmax). Approximate to the documented ops/fastrank.py bound;
+    ``rank_impl="hist"`` is opt-in for that reason.
+    """
+    d, c_loc, p = xb.shape
+    xf = xb.reshape(d * c_loc, p)
+    z, cdf = _sharded_fast_rank(xf, chain_axis, kshards, nbins, fast_impl)
+    tail_prob = 0.1 if q is None else q
+    if kind == "tail":
+        t_lo, t_hi, med = hist_quantile(
+            cdf, (tail_prob / 2, 1 - tail_prob / 2, 0.5), nbins
+        )
+        proxies = []
+        for thr in (t_lo, t_hi):
+            proxy = (xb <= thr[None, None, :]).astype(xb.dtype)
+            proxies.append(
+                jnp.where(jnp.isnan(thr)[None, None, :], jnp.nan, proxy)
+            )
+        ess2, _ = _sharded_basic(
+            jnp.concatenate(proxies, axis=2), split_chains=split_chains,
+            maxlag=maxlag, method=method, relative=relative,
+            chain_axis=chain_axis,
+        )
+        ess = jnp.minimum(ess2[:p], ess2[p:])
+    else:
+        med = hist_quantile(cdf, (0.5,), nbins)[0]
+        ess, rhat_bulk = _sharded_basic(
+            z.reshape(d, c_loc, p), split_chains=split_chains,
+            maxlag=maxlag, method=method, relative=relative,
+            chain_axis=chain_axis,
+        )
+        if kind == "bulk":
+            return ess, rhat_bulk
+    folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
+    z_tail, _ = _sharded_fast_rank(
+        folded, chain_axis, kshards, nbins, fast_impl
+    )
+    rhat_tail = _local_rhat_psum(
+        z_tail.reshape(d, c_loc, p), split_chains, chain_axis, cdf.bad
+    )
+    if kind == "tail":
+        return ess, rhat_tail
+    return ess, jnp.maximum(rhat_tail, rhat_bulk)
+
+
 def _sharded_quantile_proxy(xb, q, chain_axis: str):
     c_loc = xb.shape[1]
     full = jax.lax.all_gather(xb, chain_axis, axis=1, tiled=True)
@@ -382,8 +500,10 @@ def _resolve_rank_impl(rank_impl: str, x3, kind: str) -> str:
     ``auto`` switches to the ring merge-count when the gathered full sample
     would exceed ~128 MB per device — the regime where the all_gather's
     O(chains_total) HBM footprint dominates (VERDICT round 2, item 3).
+    ``hist`` (opt-in, never auto-selected: it is approximate) replaces the
+    rank transform with the one-psum histogram CDF (ops/fastrank.py).
     """
-    if rank_impl not in ("auto", "gather", "ring"):
+    if rank_impl not in ("auto", "gather", "ring", "hist"):
         raise ValueError(f"unknown rank_impl {rank_impl!r}")
     if kind == "basic":
         return "gather"  # no sort-based transform involved
@@ -404,6 +524,7 @@ def ess_rhat_sharded(
     relative: bool = False,
     tail_prob: float = 0.1,
     rank_impl: str = "auto",
+    rank_nbins: int = DEFAULT_NBINS,
 ):
     """ESS + R-hat over a chain/param-sharded mesh.
 
@@ -412,8 +533,12 @@ def ess_rhat_sharded(
     collective stays inside one jitted shard_map. Results are replicated over
     the chain axis and sharded over params. ``rank_impl`` selects how the
     sort-based kinds see the global sample: ``"gather"`` (one all_gather,
-    every device sorts the full sample) or ``"ring"`` (ring merge-count,
-    O(N_local) memory — parallel/ring_rank.py); ``"auto"`` picks by size.
+    every device sorts the full sample), ``"ring"`` (ring merge-count,
+    O(N_local) memory — parallel/ring_rank.py), or ``"hist"`` (opt-in
+    approximate fast mode: local histograms + ONE psum of bin moments, no
+    sorts at all — the distributed analogue of ``rank_mode="fast"``, bound
+    documented in ops/fastrank.py); ``"auto"`` picks between the exact two
+    by size.
     """
     x3, pshape = canonicalize(samples)
     niter = x3.shape[0] // split_chains
@@ -431,7 +556,29 @@ def ess_rhat_sharded(
     if method in ("fused", "fused_interpret"):
         method = "pallas" if method == "fused" else "fft"
 
-    if impl == "ring" and kind in ("bulk", "tail", "rank"):
+    if impl == "hist" and kind in ("bulk", "tail", "rank"):
+        # XLA radix matmuls inside shard_map on CPU meshes; the fused Pallas
+        # kernels on a real TPU mesh
+        fast_impl = (
+            "pallas"
+            if all(d.platform == "tpu" for d in cfg.mesh.devices.flat)
+            and jnp.dtype(x3.dtype).itemsize <= 4
+            else "xla"
+        )
+        kernel = partial(
+            _hist_kernel,
+            kind=kind,
+            split_chains=split_chains,
+            maxlag=eff_maxlag,
+            method=method,
+            relative=relative,
+            q=q,
+            chain_axis=cfg.chain_axis,
+            kshards=cfg.mesh.shape[cfg.chain_axis],
+            nbins=rank_nbins,
+            fast_impl=fast_impl,
+        )
+    elif impl == "ring" and kind in ("bulk", "tail", "rank"):
         kernel = partial(
             _ring_kernel,
             kind=kind,
@@ -503,6 +650,7 @@ def rhat_nested_sharded(
     kind: str = "rank",
     split_chains: int = 2,
     rank_impl: str = "auto",
+    rank_nbins: int = DEFAULT_NBINS,
 ):
     """Nested R-hat over a chain/param-sharded mesh (BASELINE config 5).
 
@@ -561,6 +709,47 @@ def rhat_nested_sharded(
             return tail
         return jnp.maximum(bulk, tail)
 
+    def hist_kernel(xb):
+        # sort-free AND gather-free: one histogram psum per transform
+        # (ops/fastrank.py bound applies; opt-in via rank_impl="hist")
+        d, c_loc, p = xb.shape
+        fast_impl = (
+            "pallas"
+            if all(dv.platform == "tpu" for dv in cfg.mesh.devices.flat)
+            and jnp.dtype(xb.dtype).itemsize <= 4
+            else "xla"
+        )
+        xf = xb.reshape(d * c_loc, p)
+
+        def nested_local(z3, bad):
+            samples_ = split_chains_reshape(z3, split_chains)
+            cm = jnp.mean(samples_, axis=0)
+            cent = samples_ - cm[None]
+            cv = jnp.sum(cent * cent, axis=0) / (samples_.shape[0] - 1)
+            vmin = jnp.min(samples_, axis=(0, 1))
+            vmax = jnp.max(samples_, axis=(0, 1))
+            r = _nested_rhat_from_moments_dist(
+                cm, cv, nsuper_local, cfg.chain_axis, vmin, vmax
+            )
+            return jnp.where(bad, jnp.nan, r)
+
+        z, cdf = _sharded_fast_rank(
+            xf, cfg.chain_axis, kshards, rank_nbins, fast_impl
+        )
+        if kind in ("bulk", "rank"):
+            bulk = nested_local(z.reshape(d, c_loc, p), cdf.bad)
+            if kind == "bulk":
+                return bulk
+        med = hist_quantile(cdf, (0.5,), rank_nbins)[0]
+        folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
+        z_tail, _ = _sharded_fast_rank(
+            folded, cfg.chain_axis, kshards, rank_nbins, fast_impl
+        )
+        tail = nested_local(z_tail.reshape(d, c_loc, p), cdf.bad)
+        if kind == "tail":
+            return tail
+        return jnp.maximum(bulk, tail)
+
     def kernel(xb):
         # The rank-transformed kinds are pure moment statistics (no autocov),
         # so neither transform is ever routed back to (draw, chain) order:
@@ -600,9 +789,14 @@ def rhat_nested_sharded(
             return tail
         return jnp.maximum(bulk, tail)
 
-    use_ring = impl == "ring" and kind in ("bulk", "tail", "rank")
+    if impl == "hist" and kind in ("bulk", "tail", "rank"):
+        chosen = hist_kernel
+    elif impl == "ring" and kind in ("bulk", "tail", "rank"):
+        chosen = ring_kernel
+    else:
+        chosen = kernel
     fn = shard_map(
-        ring_kernel if use_ring else kernel,
+        chosen,
         mesh=cfg.mesh,
         in_specs=(cfg.data_spec,),
         out_specs=cfg.param_spec,

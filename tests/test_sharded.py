@@ -184,3 +184,75 @@ class TestShardedStressShape:
                                    rtol=1e-8)
         np.testing.assert_allclose(np.asarray(got.rhat),
                                    np.asarray(want.rhat), rtol=1e-8)
+
+
+class TestHistRankImpl:
+    """rank_impl="hist": the one-psum distributed histogram rank transform.
+
+    Sort-free and gather-free — the distributed analogue of
+    ``rank_mode="fast"`` (ops/fastrank.py): parity target is the
+    single-device FAST mode (bitwise up to f64 collective reassociation),
+    plus a tolerance check against the exact kinds.
+    """
+
+    @pytest.fixture
+    def cfg8(self):
+        from mcmcdiagnostictools_jl_tpu.parallel import make_mesh
+
+        return make_mesh(chain_shards=4, param_shards=2,
+                         devices=jax.local_devices(backend="cpu"))
+
+    @pytest.mark.parametrize("kind", ["rank", "bulk", "tail"])
+    def test_matches_single_device_fast(self, rng, cfg8, kind):
+        from mcmcdiagnostictools_jl_tpu.parallel import ess_rhat_sharded
+
+        x = rng.standard_normal((2000, 16, 6))
+        r = ess_rhat_sharded(x, cfg8, kind=kind, rank_impl="hist")
+        s = mdt.ess_rhat(x, kind=kind, rank_mode="fast")
+        np.testing.assert_allclose(np.asarray(r.ess), np.asarray(s.ess),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(r.rhat), np.asarray(s.rhat),
+                                   atol=1e-9)
+
+    def test_tracks_exact_kind(self, rng, cfg8):
+        from mcmcdiagnostictools_jl_tpu.parallel import ess_rhat_sharded
+
+        x = rng.standard_normal((4000, 16, 4)) * 2.0 - 1.0
+        r = ess_rhat_sharded(x, cfg8, kind="rank", rank_impl="hist")
+        s = mdt.ess_rhat(x, kind="rank")
+        np.testing.assert_allclose(np.asarray(r.ess), np.asarray(s.ess),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(r.rhat), np.asarray(s.rhat),
+                                   atol=1e-4)
+
+    def test_nan_poisoning(self, rng, cfg8):
+        from mcmcdiagnostictools_jl_tpu.parallel import ess_rhat_sharded
+
+        x = rng.standard_normal((1000, 16, 4))
+        x[3, 5, 2] = np.nan
+        r = ess_rhat_sharded(x, cfg8, kind="rank", rank_impl="hist")
+        assert np.isnan(np.asarray(r.ess)[2])
+        assert np.all(np.isfinite(np.asarray(r.ess)[[0, 1, 3]]))
+
+    def test_discrete_ties_match_exact(self, rng, cfg8):
+        # point masses are exact in the histogram transform, so discrete
+        # data agrees with the exact kinds bit-for-bit (up to reassociation)
+        from mcmcdiagnostictools_jl_tpu.parallel import ess_rhat_sharded
+
+        x = rng.integers(0, 5, size=(1000, 16, 4)).astype(float)
+        r = ess_rhat_sharded(x, cfg8, kind="rank", rank_impl="hist")
+        s = mdt.ess_rhat(x, kind="rank")
+        np.testing.assert_allclose(np.asarray(r.ess), np.asarray(s.ess),
+                                   rtol=1e-9)
+
+    def test_nested_hist(self, rng, cfg8):
+        from mcmcdiagnostictools_jl_tpu.parallel import rhat_nested_sharded
+
+        x = rng.standard_normal((2000, 16, 6))
+        ids = np.repeat(np.arange(8), 2)
+        for kind in ("rank", "bulk", "tail"):
+            rh = np.asarray(rhat_nested_sharded(x, ids, cfg8, kind=kind,
+                                                rank_impl="hist"))
+            rg = np.asarray(rhat_nested_sharded(x, ids, cfg8, kind=kind,
+                                                rank_impl="gather"))
+            np.testing.assert_allclose(rh, rg, atol=1e-5)
