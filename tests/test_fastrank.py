@@ -176,3 +176,45 @@ class TestDiagnosticsParity:
         e = np.asarray(mdt.ess(x, kind="bulk"))
         f = np.asarray(mdt.ess(x, kind="bulk", rank_mode="fast"))
         np.testing.assert_allclose(f, e, rtol=1e-2)
+
+
+class TestPallasKernels:
+    """The fused Pallas kernels (interpret mode) vs the XLA radix path.
+
+    On-device the two paths are bit-identical (verified on v5e); interpret
+    mode keeps that contract testable on CPU.
+    """
+
+    def test_hist_moments_match(self, rng):
+        x = rng.standard_normal((5000, 5)).astype(np.float32)
+        x[:, 2] = np.round(x[:, 2] * 2) / 2  # heavy ties
+        a = build_hist_cdf(x, DEFAULT_NBINS, impl="xla")
+        b = build_hist_cdf(x, DEFAULT_NBINS, impl="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(a.cum), np.asarray(b.cum))
+        np.testing.assert_allclose(np.asarray(a.fm), np.asarray(b.fm),
+                                   atol=1e-5)
+
+    def test_rank_lookup_matches(self, rng):
+        x = rng.standard_normal((5000, 5)).astype(np.float32)
+        cdf = build_hist_cdf(x, 1024, impl="xla")
+        a = np.asarray(interpolated_ranks(x, cdf, 1024, impl="xla"))
+        b = np.asarray(
+            interpolated_ranks(x, cdf, 1024, impl="pallas_interpret")
+        )
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_row_padding(self, rng):
+        # N not a multiple of the kernel row block: pad lanes must not
+        # contaminate any bin
+        x = rng.standard_normal((333, 3)).astype(np.float32)
+        a = build_hist_cdf(x, 1024, impl="xla")
+        b = build_hist_cdf(x, 1024, impl="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(a.cum), np.asarray(b.cum))
+        assert float(np.asarray(b.cum)[-1, 0]) == 333.0
+
+    def test_param_padding(self, rng):
+        # P not a multiple of the kernel sublane block
+        x = rng.standard_normal((2000, 7)).astype(np.float32)
+        a = build_hist_cdf(x, 1024, impl="xla")
+        b = build_hist_cdf(x, 1024, impl="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(a.cum), np.asarray(b.cum))
