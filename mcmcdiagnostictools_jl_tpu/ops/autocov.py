@@ -46,9 +46,18 @@ def next_fft_size(n: int) -> int:
 
 def _fft_unnormalized(centered, maxlag: int):
     """Unnormalized circular-free autocovariance ``c_k = sum_i x_i x_{i+k}``
-    for k=0..maxlag via batched rFFT. centered: (niter, C, P)."""
+    for k=0..maxlag via batched rFFT. centered: (niter, C, P).
+
+    Pad length: ``nextprod(2,3, niter + maxlag)`` — a circular product at lag
+    ``k`` wraps only through indices ``i >= pad - k``, all zero when
+    ``pad >= niter + k``, so every consumed lag is exact. The reference pads
+    to ``2 niter - 1`` (src/ess_rhat.jl:110) because its cache keeps ALL
+    lags; we consume ``maxlag + 1 << niter`` of them, so the shorter pad
+    halves the FFT work at default maxlag (same values up to f.p. rounding
+    of a different-length transform).
+    """
     niter = centered.shape[0]
-    m = next_fft_size(2 * niter - 1)
+    m = next_fft_size(niter + maxlag)
     f = jnp.fft.rfft(centered, n=m, axis=0)
     s = jnp.real(f) ** 2 + jnp.imag(f) ** 2
     c = jnp.fft.irfft(s, n=m, axis=0)
