@@ -144,49 +144,47 @@ def config3():
     return out
 
 
-def config4():
+def config4(params: int = 256):
+    """One ladder size of the large batched ESS/R-hat config.
+
+    Round-4 lesson (second iteration of this harness): after a TPU OOM the
+    axon-tunneled client does not reliably recover — even a fully freed
+    retry at a size bench.py completes kept failing in the same process.
+    The ladder therefore lives OUTSIDE this function: ``main`` runs each
+    size in its OWN subprocess and stops at the first success. Within a
+    size, exactly ONE input buffer is resident at a time: each timed repeat
+    device_puts a fresh host copy (distinct buffers defeat the tunnel's
+    (executable, args) result caching) and drops it before the next.
+    """
     import jax
-    import jax.numpy as jnp
     import mcmcdiagnostictools_jl_tpu as mdt
 
     rng = np.random.default_rng(0)
-    results = {}
-    for params in (1000, 512, 256):
-        x = None
-        try:
-            # ONE resident input; each timed repeat rescales it by a distinct
-            # scalar inside the measured executable — distinct (executable,
-            # args) pairs defeat result caching without a second 5 GB buffer
-            # (round-3 verdict: the two-copy ladder OOMed and the retained
-            # buffers poisoned every smaller retry)
-            x = jax.device_put(
-                rng.standard_normal((10_000, 128, params)).astype(np.float32)
-            )
-            scales = iter(np.float32(1.0 + 1e-6 * i) for i in range(100))
+    host = rng.standard_normal((10_000, 128, params)).astype(np.float32)
+    results = {"params": params}
 
-            def run_exact(c):
-                return mdt.ess_rhat(jnp.asarray(c) * x, kind="rank",
-                                    param_chunk=64)
-
-            def run_fast(c):
-                return mdt.ess_rhat(jnp.asarray(c) * x, kind="rank",
-                                    rank_mode="fast", param_chunk=128)
-
-            dt, _ = _timed(run_exact, repeats=2, fresh=lambda: next(scales))
-            results["params"] = params
-            results["wall_s_rank_exact"] = dt
-            results["param_draws_per_s_exact"] = 10_000 * params / dt
-            dt_f, _ = _timed(run_fast, repeats=2, fresh=lambda: next(scales))
-            results["wall_s_rank_fast"] = dt_f
-            results["param_draws_per_s_fast"] = 10_000 * params / dt_f
-            break
-        except Exception as e:  # noqa: BLE001 - OOM ladder
-            results[f"skipped_{params}"] = str(e)[:120]
-            # free the failed size's buffers BEFORE the next attempt — the
-            # round-3 ladder kept them alive and every retry inherited a
-            # poisoned HBM
-            del x
+    def measure(label, run, chunk, repeats=2):
+        x = jax.device_put(host)
+        _force(run(x, chunk))  # compile + warmup
+        del x
+        gc.collect()
+        times = []
+        for i in range(repeats):
+            xi = jax.device_put(host + np.float32(1e-6 * (i + 1)))
+            t0 = time.perf_counter()
+            _force(run(xi, chunk))
+            times.append(time.perf_counter() - t0)
+            del xi
             gc.collect()
+        dt = sorted(times)[len(times) // 2]
+        results[f"wall_s_rank_{label}"] = dt
+        results[f"param_draws_per_s_{label}"] = 10_000 * params / dt
+
+    measure("exact",
+            lambda x, c: mdt.ess_rhat(x, kind="rank", param_chunk=c), 64)
+    measure("fast",
+            lambda x, c: mdt.ess_rhat(x, kind="rank", rank_mode="fast",
+                                      param_chunk=c), 128)
     return results
 
 
@@ -223,7 +221,10 @@ def _run_one(key: str) -> None:
     """Subprocess entry: run one config, print its JSON on the last line."""
     t0 = time.perf_counter()
     try:
-        result = CONFIGS[key]()
+        if key.startswith("4:"):
+            result = config4(int(key.split(":")[1]))
+        else:
+            result = CONFIGS[key]()
     except Exception as e:  # noqa: BLE001
         result = {"error": repr(e)[:300]}
     result["total_s_incl_compile"] = time.perf_counter() - t0
@@ -267,9 +268,7 @@ def main():
                 pass
     report.setdefault("configs", {})
 
-    for key in args.configs.split(","):
-        # each config gets a FRESH process (and a fresh TPU client): an OOM
-        # or degraded compile service in one config cannot poison the rest
+    def run_subprocess(key):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_one", key],
@@ -278,12 +277,32 @@ def main():
             lines = [l for l in proc.stdout.splitlines()
                      if l.startswith("RESULT:")]
             if lines:
-                result = json.loads(lines[-1][len("RESULT:"):])
-            else:
-                result = {"error": "no result line; stderr tail: "
-                          + proc.stderr[-200:]}
+                return json.loads(lines[-1][len("RESULT:"):])
+            return {"error": "no result line; stderr tail: "
+                    + proc.stderr[-200:]}
         except subprocess.TimeoutExpired:
-            result = {"error": f"timeout after {args.timeout}s"}
+            return {"error": f"timeout after {args.timeout}s"}
+
+    for key in args.configs.split(","):
+        # each config gets a FRESH process (and a fresh TPU client): an OOM
+        # or degraded compile service in one config cannot poison the rest.
+        # Config 4's OOM ladder runs each SIZE in its own process too — a
+        # post-OOM client is wedged, so a size failure must not share a
+        # process with the retry.
+        if key == "4":
+            fails = {}
+            for params in (1000, 512, 256):
+                result = run_subprocess(f"4:{params}")
+                if "error" not in result:
+                    result.update(fails)  # record larger sizes that OOMed
+                    break
+                fails[f"skipped_{params}"] = result["error"][:160]
+                print(f"config 4 @ {params}: {result['error'][:160]}",
+                      flush=True)
+            else:
+                result = fails or {"error": "all ladder sizes failed"}
+        else:
+            result = run_subprocess(key)
         _merge(report, key, result)
         if "device" in result:
             report["device_last_run"] = result["device"]
