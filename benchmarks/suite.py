@@ -147,14 +147,18 @@ def config3():
 def config4(params: int = 256):
     """One ladder size of the large batched ESS/R-hat config.
 
-    Round-4 lesson (second iteration of this harness): after a TPU OOM the
-    axon-tunneled client does not reliably recover — even a fully freed
-    retry at a size bench.py completes kept failing in the same process.
-    The ladder therefore lives OUTSIDE this function: ``main`` runs each
-    size in its OWN subprocess and stops at the first success. Within a
-    size, exactly ONE input buffer is resident at a time: each timed repeat
-    device_puts a fresh host copy (distinct buffers defeat the tunnel's
-    (executable, args) result caching) and drops it before the next.
+    Round-4 lessons (three iterations of this harness):
+    - after a TPU OOM the axon-tunneled client does not reliably recover,
+      so ``main`` runs each ladder size in its OWN subprocess and stops at
+      the first success;
+    - host->device transfer through the tunnel has a CLIFF: 2.6 GB moves in
+      ~4 s but 5.1 GB takes ~245 s (measured), and ``device_put`` is async —
+      a transfer started before ``t0`` silently absorbs into the timed run
+      (that is what the first two config-4 landings measured: 116-217 s for
+      a pipeline whose warm wall is 3.3-8.5 s). The input is therefore
+      transferred ONCE, blocked on, and each repeat derives a fresh distinct
+      buffer ON DEVICE (a scalar add — defeats the tunnel's
+      (executable, args) result caching with no new transfer).
     """
     import jax
     import mcmcdiagnostictools_jl_tpu as mdt
@@ -162,20 +166,23 @@ def config4(params: int = 256):
     rng = np.random.default_rng(0)
     host = rng.standard_normal((10_000, 128, params)).astype(np.float32)
     results = {"params": params}
+    t0 = time.perf_counter()
+    cur = jax.device_put(host)
+    cur.block_until_ready()
+    results["device_put_s"] = time.perf_counter() - t0
+    del host
 
     def measure(label, run, chunk, repeats=2):
-        x = jax.device_put(host)
-        _force(run(x, chunk))  # compile + warmup
-        del x
-        gc.collect()
+        nonlocal cur
+        _force(run(cur, chunk))  # compile + warmup
         times = []
         for i in range(repeats):
-            xi = jax.device_put(host + np.float32(1e-6 * (i + 1)))
+            # fresh on-device buffer with distinct contents; rebinding frees
+            # the previous one right after the add completes
+            cur = (cur + np.float32(1e-6)).block_until_ready()
             t0 = time.perf_counter()
-            _force(run(xi, chunk))
+            _force(run(cur, chunk))
             times.append(time.perf_counter() - t0)
-            del xi
-            gc.collect()
         dt = sorted(times)[len(times) // 2]
         results[f"wall_s_rank_{label}"] = dt
         results[f"param_draws_per_s_{label}"] = 10_000 * params / dt

@@ -413,14 +413,22 @@ def _ess_rhat_pipeline(
     """
     nparams = x3.shape[2]
     if param_chunk is not None and nparams > param_chunk:
-        npad = (-nparams) % param_chunk
-        xpad = jnp.pad(x3, ((0, 0), (0, 0), (0, npad)))
-        d, c = x3.shape[0], x3.shape[1]
-        chunks = jnp.moveaxis(
-            xpad.reshape(d, c, -1, param_chunk), 2, 0
-        )  # (nchunks, d, c, chunk)
+        # slice-based chunking: the former pad + moveaxis staged TWO extra
+        # full-array copies before any work — at 10k x 128 x 1000 that is
+        # ~10 GB of scratch on a 16 GB chip and the measured wall collapsed
+        # ~13x (report_r4 config 4 first landing). Chunks are now cut with
+        # dynamic_slice inside the map (one chunk-sized copy at a time);
+        # a non-dividing last chunk starts at nparams - chunk and overlaps
+        # its predecessor — per-parameter independence makes the duplicated
+        # columns bit-identical, and the positional scatter keeps one copy.
+        nchunks = -(-nparams // param_chunk)
+        starts = jnp.minimum(
+            jnp.arange(nchunks) * param_chunk,
+            max(nparams - param_chunk, 0),
+        )
 
-        def one_chunk(xc):
+        def one_chunk(start):
+            xc = jax.lax.dynamic_slice_in_dim(x3, start, param_chunk, axis=2)
             return _ess_rhat_pipeline(
                 xc, kind=kind, split_chains=split_chains, maxlag=maxlag,
                 method=method, relative=relative, q=q, fold_merge=fold_merge,
@@ -428,8 +436,11 @@ def _ess_rhat_pipeline(
                 fast_impl=fast_impl,
             )
 
-        ess_c, rhat_c = jax.lax.map(one_chunk, chunks)
-        return ess_c.reshape(-1)[:nparams], rhat_c.reshape(-1)[:nparams]
+        ess_c, rhat_c = jax.lax.map(one_chunk, starts)
+        pos = (starts[:, None] + jnp.arange(param_chunk)[None, :]).ravel()
+        ess = jnp.zeros(nparams, ess_c.dtype).at[pos].set(ess_c.ravel())
+        rhat = jnp.zeros(nparams, rhat_c.dtype).at[pos].set(rhat_c.ravel())
+        return ess, rhat
     if rank_mode == "fast" and kind in ("bulk", "tail", "rank"):
         return _fast_kind_pipeline(
             x3, kind=kind, split_chains=split_chains, maxlag=maxlag,
