@@ -39,14 +39,19 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_BLOCK = 2048
 # parameters (sublanes) per grid step
 _PBLOCK = 64
-# fine-digit width: 128 lanes-native; the lookup kernel's MXU work scales
-# with W * nbins independent of the split, but the coarse one-hot build
-# scales with kc, so a wide fine digit is cheaper overall
-_KF = 128
+# fine-digit widths. The MXU work of both kernels scales with nbins
+# independent of the split; what the split controls is VPU work: the hist
+# kernel builds kc+kf one-hot columns per element (balanced 64x64 minimizes
+# the sum), while the lookup kernel additionally pays 3*kf multiply-add
+# lanes per element for the fine selection — a NARROW fine digit wins there
+# (kf=32: 96 VPU ops/elem vs 384 at kf=128; measured 233 -> ~170 ms at
+# (1.28M, 256), nbins=4096)
+_KF_HIST = 64
+_KF_LOOKUP = 32
 
 
-def _digit_split(nbins: int):
-    kf = min(_KF, nbins)
+def _digit_split(nbins: int, kf_max: int):
+    kf = min(kf_max, nbins)
     kc = nbins // kf
     assert kc * kf == nbins, (nbins, kf)
     return kc, kf
@@ -71,7 +76,7 @@ def _bins_row(x, lo, scale, nbins: int, valid):
 def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, *,
                  nbins: int, nvalid: int, pblock: int):
     """Grid: (pblocks, nchunks) — row chunks innermost, outputs revisited."""
-    kc, kf = _digit_split(nbins)
+    kc, kf = _digit_split(nbins, _KF_HIST)
     j = pl.program_id(1)
     nrows = x_ref.shape[1]
 
@@ -120,7 +125,7 @@ def pallas_hist_moments(xt, lo, scale, nbins: int, *,
     degenerate columns). Returns ``(cnt, s1)`` of shape (nbins, P), f32.
     """
     p, n = xt.shape
-    kc, kf = _digit_split(nbins)
+    kc, kf = _digit_split(nbins, _KF_HIST)
     ppad = (-p) % _PBLOCK
     npad = (-n) % row_block
     xt = jnp.pad(xt, ((0, ppad), (0, npad)))
@@ -169,7 +174,7 @@ def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, *,
                    nbins: int, pblock: int):
     """tab_ref: (Pb, 3*kf, kc) — [c_lo; cnt; off] stacked along the fine
     axis; out_ref: (Pb, I) mean-anchored ranks."""
-    kc, kf = _digit_split(nbins)
+    kc, kf = _digit_split(nbins, _KF_LOOKUP)
     nrows = x_ref.shape[1]
     valid = jnp.ones((1, nrows), dtype=bool)  # padding sliced off by caller
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc, nrows), 0)
@@ -208,7 +213,7 @@ def pallas_rank_lookup(xt, lo, scale, tables, nbins: int, *,
     which the caller applies with the Blom/ndtri step).
     """
     p, n = xt.shape
-    kc, kf = _digit_split(nbins)
+    kc, kf = _digit_split(nbins, _KF_LOOKUP)
     ppad = (-p) % _PBLOCK
     npad = (-n) % row_block
     xt = jnp.pad(xt, ((0, ppad), (0, npad)))
