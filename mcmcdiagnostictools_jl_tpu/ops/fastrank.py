@@ -241,7 +241,7 @@ def build_hist_cdf(xf, nbins: int = DEFAULT_NBINS, chunk: int = _HIST_CHUNK,
         from .pallas.fastrank_kernel import pallas_hist_moments
 
         cnt, s1 = pallas_hist_moments(
-            xf.T, lo, _hist_scale(lo, hi, nbins), nbins,
+            xf, lo, _hist_scale(lo, hi, nbins), nbins,
             interpret=(impl == "pallas_interpret"),
         )
     else:
@@ -268,9 +268,9 @@ def interpolated_ranks(xf, cdf: HistCDF, nbins: int,
         from .pallas.fastrank_kernel import pallas_rank_lookup
 
         rank = pallas_rank_lookup(
-            xf.T, cdf.lo, _hist_scale(cdf.lo, cdf.hi, nbins), tables, nbins,
+            xf, cdf.lo, _hist_scale(cdf.lo, cdf.hi, nbins), tables, nbins,
             interpret=(impl == "pallas_interpret"),
-        ).T.astype(xf.dtype)
+        ).astype(xf.dtype)
     else:
         b, frac = _bin_coords(xf, cdf.lo, cdf.hi, nbins)
         c_lo, cnt_b, off_b = radix_table_lookup(b, tables, nbins, chunk)

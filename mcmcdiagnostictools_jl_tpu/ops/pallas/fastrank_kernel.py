@@ -16,10 +16,13 @@ directly, so each pass reads the sample once (~0.3 GB):
   as a (P, W*kf, kc) block; the coarse one-hot contracts against them on the
   MXU and the fine one-hot selects the digit with a VPU reduction.
 
-Layout: both kernels take the sample TRANSPOSED, ``(P, N)`` — parameters on
+Layout: both kernels take the sample in its NATIVE (N, P) layout and
+transpose each (I, Pb) block to (Pb, I) in VMEM scratch — parameters on
 sublanes, elements on lanes — so the per-parameter loop is a cheap dynamic
-sublane slice (dynamic LANE indexing would force relayouts). The transposes
-are single XLA passes (~1 ms/GB), amortized by the sort-free pipeline.
+sublane slice (dynamic LANE indexing would force relayouts). Kernel-side
+block transposes replaced whole-array XLA transposes in round 4: the three
+(N, P)<->(P, N) passes cost ~34 ms each at (1.28M, 256) while the per-block
+VMEM relayout rides the existing pipeline.
 
 Numerics are identical to the XLA path up to f32 accumulation order.
 Reference semantics being approximated: src/utils.jl:169-193 (tiedrank +
@@ -37,14 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # elements (lanes) per grid step
 _ROW_BLOCK = 2048
-# parameters (sublanes) per grid step
-_PBLOCK = 64
+# parameters per grid step: the native-layout (I, Pb) input block carries
+# them on LANES, so Pb must be 128 (the lane tile width)
+_PBLOCK = 128
 # fine-digit widths. The MXU work of both kernels scales with nbins
 # independent of the split; what the split controls is VPU work: the hist
 # kernel builds kc+kf one-hot columns per element (balanced 64x64 minimizes
 # the sum), while the lookup kernel additionally pays 3*kf multiply-add
 # lanes per element for the fine selection — a NARROW fine digit wins there
-# (kf=32: 96 VPU ops/elem vs 384 at kf=128; measured 233 -> ~170 ms at
+# (kf=32: 96 VPU ops/elem vs 384 at kf=128; measured 233 -> ~112 ms at
 # (1.28M, 256), nbins=4096)
 _KF_HIST = 64
 _KF_LOOKUP = 32
@@ -73,18 +77,24 @@ def _bins_row(x, lo, scale, nbins: int, valid):
     return b, frac
 
 
-def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, *,
+def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, xt_ref, *,
                  nbins: int, nvalid: int, pblock: int):
-    """Grid: (pblocks, nchunks) — row chunks innermost, outputs revisited."""
+    """Grid: (pblocks, nchunks) — row chunks innermost, outputs revisited.
+
+    ``x_ref``: (I, Pb) block of the native-layout sample; transposed once
+    into the (Pb, I) ``xt_ref`` scratch so the per-parameter loop slices
+    sublanes.
+    """
     kc, kf = _digit_split(nbins, _KF_HIST)
     j = pl.program_id(1)
-    nrows = x_ref.shape[1]
+    nrows = x_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
         cnt_ref[...] = jnp.zeros_like(cnt_ref)
         s1_ref[...] = jnp.zeros_like(s1_ref)
 
+    xt_ref[...] = x_ref[...].T
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
     valid = j * nrows + lane < nvalid
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc, nrows), 0)
@@ -92,7 +102,7 @@ def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, *,
 
     def body(p, _):
         b, frac = _bins_row(
-            x_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
+            xt_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
             scale_ref[pl.ds(p, 1), :], nbins, valid,
         )
         ac = iota_c == b // kf  # (kc, I)
@@ -116,21 +126,21 @@ def _hist_kernel(x_ref, lo_ref, scale_ref, cnt_ref, s1_ref, *,
     jax.lax.fori_loop(0, pblock, body, 0, unroll=False)
 
 
-def pallas_hist_moments(xt, lo, scale, nbins: int, *,
+def pallas_hist_moments(xf, lo, scale, nbins: int, *,
                         interpret: bool = False,
                         row_block: int = _ROW_BLOCK):
-    """Per-column bin counts and frac sums from a transposed (P, N) sample.
+    """Per-column bin counts and frac sums from a native (N, P) sample.
 
     ``lo``/``scale``: (P,) range mapping (scale = nbins / (hi - lo), 0 for
     degenerate columns). Returns ``(cnt, s1)`` of shape (nbins, P), f32.
     """
-    p, n = xt.shape
+    n, p = xf.shape
     kc, kf = _digit_split(nbins, _KF_HIST)
     ppad = (-p) % _PBLOCK
     npad = (-n) % row_block
-    xt = jnp.pad(xt, ((0, ppad), (0, npad)))
-    lo2 = jnp.pad(lo.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
-    sc2 = jnp.pad(scale.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    xf = jnp.pad(xf, ((0, npad), (0, ppad)))
+    lo2 = jnp.pad(lo.astype(xf.dtype), (0, ppad)).reshape(-1, 1)
+    sc2 = jnp.pad(scale.astype(xf.dtype), (0, ppad)).reshape(-1, 1)
     ptot = p + ppad
     pblocks = ptot // _PBLOCK
     nchunks = (n + npad) // row_block
@@ -140,7 +150,7 @@ def pallas_hist_moments(xt, lo, scale, nbins: int, *,
                           pblock=_PBLOCK),
         grid=(pblocks, nchunks),
         in_specs=[
-            pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+            pl.BlockSpec((row_block, _PBLOCK), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -157,32 +167,36 @@ def pallas_hist_moments(xt, lo, scale, nbins: int, *,
             jax.ShapeDtypeStruct((ptot, kc, kf), jnp.float32),
             jax.ShapeDtypeStruct((ptot, kc, kf), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((_PBLOCK, row_block), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * ptot * (n + npad) * nbins,
             bytes_accessed=ptot * (n + npad) * 4 + 2 * ptot * nbins * 4,
             transcendentals=0,
         ),
-    )(xt, lo2, sc2)
+    )(xf, lo2, sc2)
     # (P, kc, kf) -> (nbins, P)
     cnt = cnt[:p].reshape(p, nbins).T
     s1 = s1[:p].reshape(p, nbins).T
     return cnt, s1
 
 
-def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, *,
-                   nbins: int, pblock: int):
+def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, xt_ref,
+                   rk_ref, *, nbins: int, pblock: int):
     """tab_ref: (Pb, 3*kf, kc) — [c_lo; cnt; off] stacked along the fine
-    axis; out_ref: (Pb, I) mean-anchored ranks."""
+    axis; out_ref: (I, Pb) mean-anchored ranks in native layout (computed
+    per parameter row into the (Pb, I) ``rk_ref`` scratch, transposed back
+    once at the end)."""
     kc, kf = _digit_split(nbins, _KF_LOOKUP)
-    nrows = x_ref.shape[1]
+    nrows = x_ref.shape[0]
+    xt_ref[...] = x_ref[...].T
     valid = jnp.ones((1, nrows), dtype=bool)  # padding sliced off by caller
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (kc, nrows), 0)
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (kf, nrows), 0)
 
     def body(p, _):
         b, frac = _bins_row(
-            x_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
+            xt_ref[pl.ds(p, 1), :], lo_ref[pl.ds(p, 1), :],
             scale_ref[pl.ds(p, 1), :], nbins, valid,
         )
         ac = (iota_c == b // kf).astype(jnp.float32)  # (kc, I)
@@ -197,28 +211,29 @@ def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, *,
         cnt = jnp.sum(rows[1 * kf:2 * kf, :] * af, axis=0, keepdims=True)
         off = jnp.sum(rows[2 * kf:3 * kf, :] * af, axis=0, keepdims=True)
         g = jnp.clip(frac * cnt + off, 0.0, cnt)
-        out_ref[pl.ds(p, 1), :] = c_lo + g + 0.5
+        rk_ref[pl.ds(p, 1), :] = c_lo + g + 0.5
         return 0
 
     jax.lax.fori_loop(0, pblock, body, 0, unroll=False)
+    out_ref[...] = rk_ref[...].T
 
 
-def pallas_rank_lookup(xt, lo, scale, tables, nbins: int, *,
+def pallas_rank_lookup(xf, lo, scale, tables, nbins: int, *,
                        interpret: bool = False,
                        row_block: int = _ROW_BLOCK):
-    """Mean-anchored interpolated ranks of a transposed (P, N) sample.
+    """Mean-anchored interpolated ranks of a native (N, P) sample.
 
     ``tables``: (3, nbins, P) — [prefix count C, bin count, anchor offset
-    cnt*(1/2 - fm)]. Returns (P, N) ranks (before the +degenerate override,
+    cnt*(1/2 - fm)]. Returns (N, P) ranks (before the degenerate override,
     which the caller applies with the Blom/ndtri step).
     """
-    p, n = xt.shape
+    n, p = xf.shape
     kc, kf = _digit_split(nbins, _KF_LOOKUP)
     ppad = (-p) % _PBLOCK
     npad = (-n) % row_block
-    xt = jnp.pad(xt, ((0, ppad), (0, npad)))
-    lo2 = jnp.pad(lo.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
-    sc2 = jnp.pad(scale.astype(xt.dtype), (0, ppad)).reshape(-1, 1)
+    xf = jnp.pad(xf, ((0, npad), (0, ppad)))
+    lo2 = jnp.pad(lo.astype(xf.dtype), (0, ppad)).reshape(-1, 1)
+    sc2 = jnp.pad(scale.astype(xf.dtype), (0, ppad)).reshape(-1, 1)
     ptot = p + ppad
     # (3, nbins, P) -> (P, 3, kf, kc) -> (P, 3*kf, kc)
     tab = jnp.pad(tables.astype(jnp.float32), ((0, 0), (0, 0), (0, ppad)))
@@ -231,7 +246,7 @@ def pallas_rank_lookup(xt, lo, scale, tables, nbins: int, *,
         functools.partial(_lookup_kernel, nbins=nbins, pblock=_PBLOCK),
         grid=(pblocks, nchunks),
         in_specs=[
-            pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+            pl.BlockSpec((row_block, _PBLOCK), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PBLOCK, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -240,14 +255,18 @@ def pallas_rank_lookup(xt, lo, scale, tables, nbins: int, *,
             pl.BlockSpec((_PBLOCK, 3 * kf, kc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_PBLOCK, row_block), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((row_block, _PBLOCK), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ptot, n + npad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n + npad, ptot), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_PBLOCK, row_block), jnp.float32),
+            pltpu.VMEM((_PBLOCK, row_block), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * ptot * (n + npad) * 3 * nbins,
             bytes_accessed=ptot * (n + npad) * 8 + 3 * ptot * nbins * 4,
             transcendentals=0,
         ),
-    )(xt, lo2, sc2, tab)
-    return out[:p, :n]
+    )(xf, lo2, sc2, tab)
+    return out[:n, :p]
