@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from ..ops.autocov import mean_autocov_curve
 from ..ops.fastrank import (
     DEFAULT_NBINS,
+    _folded_cdf,
     build_hist_cdf,
     fast_rank_bulk_tail,
     fast_rank_normalize,
@@ -355,7 +356,9 @@ def _fast_kind_pipeline(
                                   relative)
         ess = jnp.minimum(ess2[:p], ess2[p:])
         folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
-        z_tail, _ = fast_rank_normalize_flat(folded, nbins, impl=fast_impl)
+        z_tail, _ = fast_rank_normalize_flat(
+            folded, nbins, impl=fast_impl,
+            cdf=_folded_cdf(folded, cdf, med, nbins, fast_impl))
         z_tail = jnp.where(cdf.bad[None, :], jnp.nan, z_tail)
         rhat_tail = _fast_tail_rhat(z_tail.reshape(d, c, p), split_chains)
         return ess, rhat_tail

@@ -346,15 +346,19 @@ def _sharded_minmax(xf, chain_axis: str):
 
 
 def _sharded_fast_rank(xf, chain_axis: str, kshards: int, nbins: int,
-                       fast_impl: str):
+                       fast_impl: str, minmax=None):
     """Global histogram CDF + local in-place rank transform.
 
     Each shard histograms its local elements, ONE psum merges the bin
     moments, and every element is transformed locally against the global
     CDF — no element ever leaves its shard. Returns ``(z_local, cdf)``
     with the approximation bound of ops/fastrank.py (global occupancy / n).
+    ``minmax``: pass a precomputed global (lo, hi, bad) to skip the
+    reduction round (the fold transform derives its range from the bulk
+    CDF — ops/fastrank._folded_cdf rationale).
     """
-    minmax = _sharded_minmax(xf, chain_axis)
+    if minmax is None:
+        minmax = _sharded_minmax(xf, chain_axis)
     n_global = xf.shape[0] * kshards
     cdf = build_hist_cdf(
         xf, nbins, minmax=minmax, psum_axis=chain_axis, n_global=n_global,
@@ -362,6 +366,17 @@ def _sharded_fast_rank(xf, chain_axis: str, kshards: int, nbins: int,
     )
     rank = interpolated_ranks(xf, cdf, nbins, impl=fast_impl)
     return z_from_ranks(rank, cdf.n, cdf.bad), cdf
+
+
+def _fold_minmax_from(cdf, med):
+    """Global (lo, hi, bad) of ``|x - med|`` derived from the bulk CDF —
+    no extra collective round (ops/fastrank._folded_cdf rationale)."""
+    m = jnp.nan_to_num(med)
+    hi_f = jnp.maximum(cdf.hi - m, m - cdf.lo)
+    hi_f = jnp.where(hi_f > 0, hi_f, 1.0)
+    lo_f = jnp.zeros_like(hi_f)
+    hi_f = jnp.where(cdf.hi <= cdf.lo, lo_f, hi_f)
+    return lo_f, hi_f, cdf.bad
 
 
 def _local_rhat_psum(z3, split_chains: int, chain_axis: str, bad):
@@ -421,7 +436,8 @@ def _hist_kernel(
             return ess, rhat_bulk
     folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
     z_tail, _ = _sharded_fast_rank(
-        folded, chain_axis, kshards, nbins, fast_impl
+        folded, chain_axis, kshards, nbins, fast_impl,
+        minmax=_fold_minmax_from(cdf, med),
     )
     rhat_tail = _local_rhat_psum(
         z_tail.reshape(d, c_loc, p), split_chains, chain_axis, cdf.bad
@@ -743,7 +759,8 @@ def rhat_nested_sharded(
         med = hist_quantile(cdf, (0.5,), rank_nbins)[0]
         folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
         z_tail, _ = _sharded_fast_rank(
-            folded, cfg.chain_axis, kshards, rank_nbins, fast_impl
+            folded, cfg.chain_axis, kshards, rank_nbins, fast_impl,
+            minmax=_fold_minmax_from(cdf, med),
         )
         tail = nested_local(z_tail.reshape(d, c_loc, p), cdf.bad)
         if kind == "tail":
