@@ -218,3 +218,32 @@ class TestPallasKernels:
         a = build_hist_cdf(x, 1024, impl="xla")
         b = build_hist_cdf(x, 1024, impl="pallas_interpret")
         np.testing.assert_array_equal(np.asarray(a.cum), np.asarray(b.cum))
+
+
+class TestFoldedCDF:
+    """The fold transform's histogram range is DERIVED from the bulk CDF
+    (lo=0, hi=max(hi-med, med-lo)) — pin the edge geometries."""
+
+    @pytest.mark.parametrize("skew", ["min_heavy", "max_heavy", "symmetric"])
+    def test_median_at_extremes(self, rng, skew):
+        n = 4000
+        if skew == "min_heavy":  # median == min
+            x = np.concatenate([np.zeros(3 * n // 4), rng.uniform(0, 1, n // 4)])
+        elif skew == "max_heavy":  # median == max
+            x = np.concatenate([rng.uniform(0, 1, n // 4), np.ones(3 * n // 4)])
+        else:
+            x = rng.standard_normal(n)
+        x = rng.permuted(x).reshape(-1, 4, 1)
+        a = mdt.ess_rhat(x, kind="tail")
+        b = mdt.ess_rhat(x, kind="tail", rank_mode="fast")
+        # folded values must stay in range: finite outputs, tracking exact
+        assert np.isfinite(float(np.asarray(b.rhat)))
+        np.testing.assert_allclose(float(np.asarray(b.rhat)),
+                                   float(np.asarray(a.rhat)), atol=5e-3)
+
+    def test_constant_column_still_nan(self, rng):
+        x = rng.standard_normal((1000, 4, 2))
+        x[:, :, 0] = 7.0
+        r = mdt.ess_rhat(x, kind="tail", rank_mode="fast")
+        assert np.isnan(np.asarray(r.rhat)[0])
+        assert np.isfinite(np.asarray(r.rhat)[1])
