@@ -287,6 +287,30 @@ def _tail_rhat_from_sort(xs, order, med, bad, shape3, split_chains: int,
     return jnp.where(bad, jnp.nan, stats.rhat)
 
 
+# First-stage lag budget of the adaptive Geyer walk. The reference's hot
+# loop STOPS at the first nonpositive lag pair (src/ess_rhat.jl:563-581);
+# the vectorized reduction normally computes all ``maxlag`` lags and masks.
+# The adaptive path computes 0.._ADAPTIVE_L0 first; if every series' walk
+# provably stopped inside that window (a nonpositive or NaN pair exists —
+# then alive/cummin/k_final are prefix-determined and the result is
+# BIT-IDENTICAL to the full computation), the remaining lags are never
+# touched. Well-mixed chains stop within a handful of pairs, so the fused
+# kernel's lag work drops ~4x; sticky chains pay one extra L0-lag pass.
+_ADAPTIVE_L0 = 64
+
+
+def _geyer_walk_stopped(rho):
+    """(P,) True where the pair walk provably stops within ``rho``'s lags:
+    some pair ``rho[2t] + rho[2t+1]`` is nonpositive or NaN (NaN poisons the
+    result identically at any maxlag)."""
+    lmax = rho.shape[0] - 1
+    num_pairs = max(0, (lmax - 2) // 2)
+    if num_pairs == 0:
+        return jnp.zeros(rho.shape[1], bool)
+    delta = (rho[2:2 + 2 * num_pairs:2] + rho[3:3 + 2 * num_pairs:2])
+    return jnp.any(~(delta > 0), axis=0)
+
+
 def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     """Split -> moments -> autocov curve -> rho -> Geyer. (niter, C, P) batched.
 
@@ -297,17 +321,40 @@ def _basic_ess_rhat(x3, split_chains: int, maxlag: int, method, relative: bool):
     niter, nchains, _ = samples.shape
     ntotal = niter * nchains
     if method in ("fused", "fused_interpret"):
-        # moments + centering + degeneracy + direct autocov in ONE HBM pass
-        with jax.named_scope("mdt.fused_moments_autocov"):
-            stats, acov = fused_chain_stats_autocov(
-                samples, maxlag, interpret=(method == "fused_interpret")
-            )
-    else:
-        with jax.named_scope("mdt.split_moments"):
-            stats = chain_stats(samples)
-            centered = samples - stats.chain_mean[None]
-        with jax.named_scope("mdt.autocov"):
-            acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)
+        interpret = method == "fused_interpret"
+
+        def stats_rho(lag):
+            with jax.named_scope("mdt.fused_moments_autocov"):
+                stats, acov = fused_chain_stats_autocov(
+                    samples, lag, interpret=interpret
+                )
+            rho = 1.0 - (stats.w[None] - acov) / stats.var_plus[None]
+            return stats, rho
+
+        if maxlag >= 2 * _ADAPTIVE_L0:
+            stats0, rho0 = stats_rho(_ADAPTIVE_L0)
+            stopped = _geyer_walk_stopped(rho0)
+
+            def done(_):
+                return (
+                    geyer_ess_from_rho(rho0, ntotal, relative), stats0.rhat
+                )
+
+            def full(_):
+                stats, rho = stats_rho(maxlag)
+                return geyer_ess_from_rho(rho, ntotal, relative), stats.rhat
+
+            with jax.named_scope("mdt.geyer_adaptive"):
+                return jax.lax.cond(jnp.all(stopped), done, full, None)
+        stats, rho = stats_rho(maxlag)
+        with jax.named_scope("mdt.geyer"):
+            ess = geyer_ess_from_rho(rho, ntotal, relative)
+        return ess, stats.rhat
+    with jax.named_scope("mdt.split_moments"):
+        stats = chain_stats(samples)
+        centered = samples - stats.chain_mean[None]
+    with jax.named_scope("mdt.autocov"):
+        acov = mean_autocov_curve(centered, stats.chain_var, maxlag, method)
     with jax.named_scope("mdt.geyer"):
         inv_var_plus = 1.0 / stats.var_plus
         rho = 1.0 - (stats.w[None] - acov) * inv_var_plus[None]

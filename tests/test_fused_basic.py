@@ -12,6 +12,8 @@ import pytest
 
 import jax
 
+import mcmcdiagnostictools_jl_tpu as mdt
+
 from mcmcdiagnostictools_jl_tpu.diagnostics.ess_rhat import _ess_rhat_pipeline
 from mcmcdiagnostictools_jl_tpu.ops.moments import (
     chain_stats,
@@ -99,3 +101,36 @@ def test_auto_method_resolves_by_backend():
     name = _method_name("auto")
     expected = "fused" if jax.default_backend() == "tpu" else "fft"
     assert name == expected
+
+
+class TestAdaptiveGeyerLag:
+    """The adaptive two-stage lag path (ess_rhat._ADAPTIVE_L0) must be
+    bit-equivalent to the full computation: the walk-stopped certificate is
+    prefix-determined, so the done branch only fires when identical."""
+
+    def test_iid_done_branch_matches_direct(self, rng):
+        # iid: every series stops within a pair or two -> done branch
+        x = rng.standard_normal((4000, 4, 6))
+        fused = mdt.ess_rhat(x, kind="basic",
+                             autocov_method=mdt.FusedAutocovMethod(interpret=True))
+        direct = mdt.ess_rhat(x, kind="basic", autocov_method=mdt.AutocovMethod())
+        np.testing.assert_allclose(np.asarray(fused.ess),
+                                   np.asarray(direct.ess), rtol=1e-8)
+
+    def test_sticky_full_branch_matches_direct(self, rng):
+        # AR(1) phi=0.995: pairs stay positive far beyond L0 -> full branch
+        from conftest import ar1
+
+        x = ar1(rng, 0.995, 1.0, (4000, 4, 2))
+        x[:, :, 1] = rng.standard_normal((4000, 4))  # mixed: one iid column
+        fused = mdt.ess_rhat(x, kind="basic",
+                             autocov_method=mdt.FusedAutocovMethod(interpret=True))
+        direct = mdt.ess_rhat(x, kind="basic", autocov_method=mdt.AutocovMethod())
+        np.testing.assert_allclose(np.asarray(fused.ess),
+                                   np.asarray(direct.ess), rtol=1e-8)
+        # the sticky column must NOT have been truncated at L0: its ESS under
+        # a forced-small maxlag would be notably different
+        small = mdt.ess_rhat(x, kind="basic", maxlag=64,
+                             autocov_method=mdt.AutocovMethod())
+        assert not np.allclose(np.asarray(fused.ess)[0],
+                               np.asarray(small.ess)[0], rtol=1e-3)
