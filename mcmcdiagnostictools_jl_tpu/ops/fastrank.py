@@ -236,7 +236,16 @@ def build_hist_cdf(xf, nbins: int = DEFAULT_NBINS, chunk: int = _HIST_CHUNK,
     matmul, any backend) or ``"pallas"``/``"pallas_interpret"`` (fused VMEM
     one-hots, ops/pallas/fastrank_kernel.py — the TPU f32 fast path).
     """
-    lo, hi, bad = column_minmax(xf) if minmax is None else minmax
+    if minmax is not None:
+        lo, hi, bad = minmax
+    elif impl in ("pallas", "pallas_interpret"):
+        from .pallas.fastrank_kernel import pallas_column_minmax
+
+        lo, hi, bad = pallas_column_minmax(
+            xf, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        lo, hi, bad = column_minmax(xf)
     if impl in ("pallas", "pallas_interpret"):
         from .pallas.fastrank_kernel import pallas_hist_moments
 

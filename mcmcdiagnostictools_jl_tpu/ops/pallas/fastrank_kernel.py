@@ -270,3 +270,79 @@ def pallas_rank_lookup(xf, lo, scale, tables, nbins: int, *,
         ),
     )(xf, lo2, sc2, tab)
     return out[:n, :p]
+
+
+def _minmax_kernel(x_ref, lo_ref, hi_ref, bad_ref, *, nvalid: int):
+    """Revisited-output column min/max/NaN reduce; grid (pblocks, nchunks)."""
+    j = pl.program_id(1)
+    nrows = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        lo_ref[...] = jnp.full_like(lo_ref, jnp.inf)
+        hi_ref[...] = jnp.full_like(hi_ref, -jnp.inf)
+        bad_ref[...] = jnp.zeros_like(bad_ref)
+
+    x = x_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = j * nrows + row < nvalid
+    nan = jnp.isnan(x)
+    lo_blk = jnp.min(jnp.where(valid & ~nan, x, jnp.inf), axis=0,
+                     keepdims=True)
+    hi_blk = jnp.max(jnp.where(valid & ~nan, x, -jnp.inf), axis=0,
+                     keepdims=True)
+    bad_blk = jnp.max((valid & nan).astype(jnp.float32), axis=0,
+                      keepdims=True)
+    lo_ref[...] = jnp.minimum(lo_ref[...], lo_blk)
+    hi_ref[...] = jnp.maximum(hi_ref[...], hi_blk)
+    bad_ref[...] = jnp.maximum(bad_ref[...], bad_blk)
+
+
+def pallas_column_minmax(xf, *, interpret: bool = False,
+                         row_block: int = _ROW_BLOCK):
+    """Per-column (lo, hi, bad) of a native (N, P) sample in one HBM pass.
+
+    The XLA triple reduce (min/max/any-NaN) measured 36 ms at (1.28M, 256)
+    — ~10x the read roofline, presumably three un-fused passes; this kernel
+    reads the sample once. Semantics match ops/fastrank.column_minmax: NaNs
+    ignored for the range, all-NaN/empty columns fall back to [0, 1].
+    """
+    n, p = xf.shape
+    ppad = (-p) % _PBLOCK
+    npad = (-n) % row_block
+    xf = jnp.pad(xf, ((0, npad), (0, ppad)))
+    ptot = p + ppad
+    lo, hi, bad = pl.pallas_call(
+        functools.partial(_minmax_kernel, nvalid=n),
+        grid=(ptot // _PBLOCK, (n + npad) // row_block),
+        in_specs=[
+            pl.BlockSpec((row_block, _PBLOCK), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _PBLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PBLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PBLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, ptot), xf.dtype),
+            jax.ShapeDtypeStruct((1, ptot), xf.dtype),
+            jax.ShapeDtypeStruct((1, ptot), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * ptot * (n + npad),
+            bytes_accessed=ptot * (n + npad) * 4,
+            transcendentals=0,
+        ),
+    )(xf)
+    lo = lo[0, :p]
+    hi = hi[0, :p]
+    bad = bad[0, :p] > 0
+    ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 1.0)
+    return lo, hi, bad

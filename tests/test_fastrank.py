@@ -247,3 +247,19 @@ class TestFoldedCDF:
         r = mdt.ess_rhat(x, kind="tail", rank_mode="fast")
         assert np.isnan(np.asarray(r.rhat)[0])
         assert np.isfinite(np.asarray(r.rhat)[1])
+
+
+class TestPallasMinmax:
+    def test_matches_xla(self, rng):
+        from mcmcdiagnostictools_jl_tpu.ops.fastrank import column_minmax
+        from mcmcdiagnostictools_jl_tpu.ops.pallas.fastrank_kernel import (
+            pallas_column_minmax,
+        )
+
+        x = rng.standard_normal((3333, 7)).astype(np.float32)
+        x[5, 2] = np.nan
+        x[:, 4] = np.nan  # all-NaN column -> [0, 1] fallback
+        a = column_minmax(x)
+        b = pallas_column_minmax(x, interpret=True)
+        for u, v in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
