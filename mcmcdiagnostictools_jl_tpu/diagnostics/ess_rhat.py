@@ -301,8 +301,9 @@ _ADAPTIVE_L0 = 64
 
 def _geyer_walk_stopped(rho):
     """(P,) True where the pair walk provably stops within ``rho``'s lags:
-    some pair ``rho[2t] + rho[2t+1]`` is nonpositive or NaN (NaN poisons the
-    result identically at any maxlag)."""
+    some pair ``rho[2t] + rho[2t+1]`` is nonpositive or NaN (a NaN pair
+    breaks the reference walk exactly like a nonpositive one, so the stop
+    point — and hence the result — is prefix-determined either way)."""
     lmax = rho.shape[0] - 1
     num_pairs = max(0, (lmax - 2) // 2)
     if num_pairs == 0:

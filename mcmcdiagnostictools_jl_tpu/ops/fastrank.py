@@ -112,10 +112,17 @@ def _bin_coords(xf, lo, hi, nbins: int):
     """Continuous bin coordinate ``s`` in [0, nbins]: integer part = bin,
     fractional part = within-bin position. Elements exactly at ``hi`` land
     in the last bin with frac 1; NaNs map to bin 0 (their columns are
-    poisoned by the caller)."""
-    width = hi - lo
+    poisoned by the caller).
+
+    The coordinate arithmetic runs in at least f32: a bf16/f16 ``s`` (values
+    up to ``nbins`` with 8 mantissa bits) would quantize the bin index to
+    ~16-bin granularity and silently void the documented occupancy/n bound.
+    """
+    ct = jnp.promote_types(xf.dtype, jnp.float32)
+    lo = lo.astype(ct)
+    width = hi.astype(ct) - lo
     scale = jnp.where(width > 0, nbins / width, 0.0)
-    s = (jnp.nan_to_num(xf) - lo[None]) * scale[None]
+    s = (jnp.nan_to_num(xf).astype(ct) - lo[None]) * scale[None]
     s = jnp.clip(s, 0.0, float(nbins))
     b = jnp.clip(s.astype(jnp.int32), 0, nbins - 1)
     return b, s - b.astype(s.dtype)
@@ -298,11 +305,14 @@ def z_from_ranks(rank, n, bad):
 def hist_quantile(cdf: HistCDF, ps, nbins: int):
     """Approximate type-7 quantiles from the histogram CDF, (len(ps), P).
 
-    Inverts the mean-anchored rank map: target rank ``h = (n-1) p + 1``;
-    the covering bin comes from an O(nbins) comparison count (the table is
-    small — no sort, no per-element work), the within-bin position from the
-    inverse of the anchored interpolation. Error bounded by one bin width;
-    point-mass bins return (approximately) the mass location itself.
+    Inverts the mean-anchored rank map: target rank ``h = (n-1) p + 1`` —
+    ``interpolated_ranks`` emits 1-BASED tied ranks (a singleton gets
+    ``C+1``), so the type-7 order statistic at probability ``p`` sits at
+    1-based rank ``(n-1)p + 1``. The covering bin comes from an O(nbins)
+    comparison count (the table is small — no sort, no per-element work),
+    the within-bin position from the inverse of the anchored interpolation.
+    Error bounded by one bin width; point-mass bins return (approximately)
+    the mass location itself.
     """
     cum = cdf.cum  # (nbins+1, P)
     n = cdf.n
@@ -310,7 +320,7 @@ def hist_quantile(cdf: HistCDF, ps, nbins: int):
     cnt_all = cdf.counts
     out = []
     for p in ps:
-        h = (n - 1) * p + 0.5  # matches interpolated_ranks' +1/2 convention
+        h = (n - 1) * p + 1.0  # 1-based, matching interpolated_ranks
         k = jnp.sum((cum + 0.5 <= h).astype(jnp.int32), axis=0) - 1
         k = jnp.clip(k, 0, nbins - 1)
         kk = k[None, :]
@@ -331,6 +341,11 @@ def resolve_fast_impl(x3) -> str:
     """Pick the fast-mode kernel implementation from where the computation
     will run: fused Pallas on TPU f32 inputs, XLA radix matmuls elsewhere
     (any backend, any dtype). Mirrors ``_auto_method``'s device resolution.
+
+    The Pallas kernels hard-require f32 (their VMEM scratch is f32, and a
+    bf16 block store into it is a Mosaic dtype error), so any other dtype —
+    including bf16/f16, whose bin arithmetic the XLA path upcasts in
+    ``_bin_coords`` — falls back to ``"xla"``.
     """
     platform = None
     try:
@@ -339,8 +354,8 @@ def resolve_fast_impl(x3) -> str:
         platform = None  # tracer or non-jax input
     if platform is None:
         platform = jax.default_backend()
-    itemsize = jnp.dtype(getattr(x3, "dtype", jnp.float32)).itemsize
-    return "pallas" if (platform == "tpu" and itemsize <= 4) else "xla"
+    dtype = jnp.dtype(getattr(x3, "dtype", jnp.float32))
+    return "pallas" if (platform == "tpu" and dtype == jnp.float32) else "xla"
 
 
 def fast_rank_normalize_flat(xf, nbins: int = DEFAULT_NBINS, cdf=None,

@@ -62,12 +62,14 @@ def geyer_ess_from_rho_dynamic(rho, ntotal, eff_maxlag, relative: bool = False):
         )
         p = jax.lax.cummin(jnp.concatenate([delta0[None], delta], axis=0), axis=0)[1:]
         tail_sum = jnp.sum(jnp.where(alive, p, jnp.zeros((), dtype)), axis=0)
+        # A NaN pair breaks exactly like a nonpositive one (reference:
+        # `Δ > zero(Δ) || break`, NaN > 0 is false) and is never summed;
+        # NaN reaches the result only through sum_p (the always-summed lag-1
+        # pair) or rho[k_final] — both checked below.
         broke_mask = (~positive) & in_range
         broke = jnp.any(broke_mask, axis=0)
         t_break = 1 + jnp.argmax(broke_mask, axis=0)
         k_final = jnp.where(broke, 2 * t_break, k_nobreak).astype(jnp.int32)
-        has_nan = jnp.any(jnp.isnan(delta) & in_range, axis=0)
-        tail_sum = jnp.where(has_nan, jnp.nan, tail_sum)
     else:
         tail_sum = jnp.zeros((nparams,), dtype)
         k_final = jnp.full((nparams,), 2, dtype=jnp.int32)
@@ -113,13 +115,16 @@ def geyer_ess_from_rho(rho, ntotal: int, relative: bool = False):
         # running min including the t=0 pair
         p = jax.lax.cummin(jnp.concatenate([delta0[None], delta], axis=0), axis=0)[1:]
         tail_sum = jnp.sum(jnp.where(alive, p, jnp.zeros((), dtype)), axis=0)
+        # A NaN pair breaks the walk exactly like a nonpositive one
+        # (reference src/ess_rhat.jl:569-571: `Δ > zero(Δ) || break`, and
+        # NaN > 0 is false) and is never summed. NaN therefore reaches the
+        # result only through sum_p (the always-summed lag-1 pair poisons it
+        # for whole-NaN columns) or through rho[k_final] when the BREAKING
+        # even lag itself is NaN — both checked below, matching the
+        # reference, which also never reads post-break lags.
         broke = jnp.any(~positive, axis=0)
         t_break = 1 + jnp.argmax(~positive, axis=0)
         k_final = jnp.where(broke, 2 * t_break, k_nobreak)
-        # NaN pairs must not count as a break (NaN > 0 is False); keep NaN
-        # propagation through tail_sum instead.
-        has_nan = jnp.any(jnp.isnan(delta), axis=0)
-        tail_sum = jnp.where(has_nan, jnp.nan, tail_sum)
     else:
         tail_sum = jnp.zeros((nparams,), dtype)
         k_final = jnp.full((nparams,), 2, dtype=jnp.int32)

@@ -574,11 +574,12 @@ def ess_rhat_sharded(
 
     if impl == "hist" and kind in ("bulk", "tail", "rank"):
         # XLA radix matmuls inside shard_map on CPU meshes; the fused Pallas
-        # kernels on a real TPU mesh
+        # kernels on a real TPU mesh (f32 only — the kernels' VMEM scratch
+        # is f32; sub-f32 dtypes take the upcasting XLA path)
         fast_impl = (
             "pallas"
             if all(d.platform == "tpu" for d in cfg.mesh.devices.flat)
-            and jnp.dtype(x3.dtype).itemsize <= 4
+            and jnp.dtype(x3.dtype) == jnp.float32
             else "xla"
         )
         kernel = partial(
@@ -732,7 +733,7 @@ def rhat_nested_sharded(
         fast_impl = (
             "pallas"
             if all(dv.platform == "tpu" for dv in cfg.mesh.devices.flat)
-            and jnp.dtype(xb.dtype).itemsize <= 4
+            and jnp.dtype(xb.dtype) == jnp.float32
             else "xla"
         )
         xf = xb.reshape(d * c_loc, p)

@@ -84,6 +84,46 @@ class TestDynamicGeyer:
                 err_msg=f"eff_maxlag={eff}",
             )
 
+    def test_nan_pair_breaks_like_nonpositive(self):
+        """ADVICE r4: a NaN lag pair BREAKS the reference walk (Δ > 0 is
+        false) and is never summed — NaN must reach the result only through
+        the always-summed lag-1 pair or through rho[k_final] when the
+        breaking even lag itself is NaN."""
+        import jax.numpy as jnp
+
+        from mcmcdiagnostictools_jl_tpu.ops.geyer import (
+            geyer_ess_from_rho,
+            geyer_ess_from_rho_dynamic,
+        )
+
+        base = 0.8 ** np.arange(251)
+        base[0] = 1.0
+
+        # NaN at a lag PAST the natural break: result equals the clean curve
+        broken = base.copy()
+        broken[40:42] = -0.5  # pair (40, 41) breaks the walk
+        late_nan = broken.copy()
+        late_nan[200] = np.nan
+        rho = jnp.asarray(np.stack([broken, late_nan], axis=1))
+        out = np.asarray(geyer_ess_from_rho(rho, 4000))
+        assert np.isfinite(out[1])
+        np.testing.assert_allclose(out[1], out[0], rtol=1e-12)
+        out_dyn = np.asarray(geyer_ess_from_rho_dynamic(rho, 4000, 250))
+        np.testing.assert_allclose(out_dyn, out, rtol=1e-12)
+
+        # NaN at the BREAKING pair: odd-lag NaN -> finite (rho[k_final] is
+        # the even lag); even-lag NaN -> NaN via rho[k_final]
+        odd_nan = base.copy()
+        odd_nan[41] = np.nan
+        even_nan = base.copy()
+        even_nan[40] = np.nan
+        all_nan = np.full(251, np.nan)
+        rho = jnp.asarray(np.stack([odd_nan, even_nan, all_nan], axis=1))
+        out = np.asarray(geyer_ess_from_rho(rho, 4000))
+        assert np.isfinite(out[0])
+        assert np.isnan(out[1])
+        assert np.isnan(out[2])  # lag-1 pair NaN poisons sum_p
+
     def test_window_kernel_matches_full_series_mcse(self, rng):
         """A (0, n) window equals the plain single-chain mean-MCSE."""
         import mcmcdiagnostictools_jl_tpu as mdt

@@ -237,9 +237,11 @@ class TestFoldedCDF:
         a = mdt.ess_rhat(x, kind="tail")
         b = mdt.ess_rhat(x, kind="tail", rank_mode="fast")
         # folded values must stay in range: finite outputs, tracking exact
-        assert np.isfinite(float(np.asarray(b.rhat)))
-        np.testing.assert_allclose(float(np.asarray(b.rhat)),
-                                   float(np.asarray(a.rhat)), atol=5e-3)
+        # .item() (not float(...)): ndim-1 size-1 conversion is a NumPy
+        # DeprecationWarning on 1.25+ and a hard error on future releases
+        assert np.isfinite(np.asarray(b.rhat).item())
+        np.testing.assert_allclose(np.asarray(b.rhat).item(),
+                                   np.asarray(a.rhat).item(), atol=5e-3)
 
     def test_constant_column_still_nan(self, rng):
         x = rng.standard_normal((1000, 4, 2))
@@ -247,6 +249,63 @@ class TestFoldedCDF:
         r = mdt.ess_rhat(x, kind="tail", rank_mode="fast")
         assert np.isnan(np.asarray(r.rhat)[0])
         assert np.isfinite(np.asarray(r.rhat)[1])
+
+
+class TestDtypeGating:
+    """ADVICE r4 (medium): the Pallas kernels hard-require f32 — any other
+    dtype must take the XLA path, and sub-f32 inputs must keep full bin
+    resolution through the upcasting ``_bin_coords``."""
+
+    def test_resolve_fast_impl_requires_f32(self):
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        from mcmcdiagnostictools_jl_tpu.ops.fastrank import resolve_fast_impl
+
+        class FakeTPUArray:
+            def __init__(self, dtype):
+                self.dtype = jnp.dtype(dtype)
+
+            def devices(self):
+                return {SimpleNamespace(platform="tpu")}
+
+        assert resolve_fast_impl(FakeTPUArray(jnp.float32)) == "pallas"
+        assert resolve_fast_impl(FakeTPUArray(jnp.bfloat16)) == "xla"
+        assert resolve_fast_impl(FakeTPUArray(jnp.float16)) == "xla"
+        assert resolve_fast_impl(FakeTPUArray(jnp.float64)) == "xla"
+
+    def test_bf16_bin_coords_full_resolution(self, rng):
+        """bf16 inputs upcast before the bin arithmetic: the bin index must
+        match the f32 computation exactly (bf16 coordinates would quantize
+        4096 bins to ~16-bin granularity)."""
+        import jax.numpy as jnp
+
+        from mcmcdiagnostictools_jl_tpu.ops.fastrank import _bin_coords
+
+        x32 = rng.standard_normal((4096, 2)).astype(np.float32)
+        xb = jnp.asarray(x32).astype(jnp.bfloat16)
+        x32 = np.asarray(xb, dtype=np.float32)  # the values bf16 represents
+        # bf16-representable range endpoints, identical on both sides
+        lo_b = jnp.min(xb, axis=0)
+        hi_b = jnp.max(xb, axis=0)
+        b_ref, _ = _bin_coords(jnp.asarray(x32),
+                               lo_b.astype(jnp.float32),
+                               hi_b.astype(jnp.float32), 4096)
+        b_bf, _ = _bin_coords(xb, lo_b, hi_b, 4096)
+        np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_bf))
+
+    def test_bf16_end_to_end(self, rng):
+        """ess_rhat(..., rank_mode='fast') on bf16 input runs (XLA path) and
+        tracks the f32 fast result."""
+        import jax.numpy as jnp
+
+        x = rng.standard_normal((2000, 4, 3)).astype(np.float32)
+        a = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        b = mdt.ess_rhat(jnp.asarray(x).astype(jnp.bfloat16), kind="rank",
+                         rank_mode="fast")
+        np.testing.assert_allclose(np.asarray(b.ess, dtype=np.float64),
+                                   np.asarray(a.ess), rtol=0.05)
 
 
 class TestPallasMinmax:
