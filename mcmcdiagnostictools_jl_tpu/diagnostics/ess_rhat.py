@@ -257,6 +257,35 @@ def _expectand_proxy(estimator, x3, q: float | None):
     raise ValueError(f"the estimator {estimator!r} is not supported by `ess`")
 
 
+def _fast_expectand_proxy(estimator, x3, q: float | None, nbins: int,
+                          impl: str):
+    """Sort-free estimator proxies (``rank_mode="fast"``).
+
+    Same proxy algebra as ``_expectand_proxy`` (src/ess_rhat.jl:626-659)
+    with every median/quantile threshold read off the histogram CDF
+    (ops/fastrank.py) instead of a sort — approximate to one bin width,
+    which perturbs only which boundary elements the 0/1 indicator counts.
+    mean/std never sort and share the exact code.
+    """
+    if estimator in ("mean", "std"):
+        return _expectand_proxy(estimator, x3, q)
+    d, c, p = x3.shape
+    xf = x3.reshape(d * c, p)
+    cdf = build_hist_cdf(xf, nbins, impl=impl)
+    if estimator == "median":
+        return _indicator_leq(x3, hist_quantile(cdf, (0.5,), nbins)[0])
+    if estimator == "quantile":
+        return _indicator_leq(x3, hist_quantile(cdf, (q,), nbins)[0])
+    if estimator == "mad":
+        med = hist_quantile(cdf, (0.5,), nbins)[0]
+        folded = jnp.abs(xf - jnp.nan_to_num(med)[None, :])
+        fcdf = _folded_cdf(folded, cdf, med, nbins, impl)
+        med_f = hist_quantile(fcdf, (0.5,), nbins)[0]
+        med_f = jnp.where(cdf.bad, jnp.nan, med_f)
+        return _indicator_leq(folded.reshape(d, c, p), med_f)
+    raise ValueError(f"the estimator {estimator!r} is not supported by `ess`")
+
+
 # ---------------------------------------------------------------------------
 # basic kernel
 # ---------------------------------------------------------------------------
@@ -498,6 +527,9 @@ def _ess_rhat_pipeline(
             method=method, relative=relative, q=q, nbins=rank_nbins,
             fast_impl=fast_impl,
         )
+    if rank_mode == "fast" and kind in ("median", "mad", "quantile"):
+        proxy = _fast_expectand_proxy(kind, x3, q, rank_nbins, fast_impl)
+        return _basic_ess_rhat(proxy, split_chains, maxlag, method, relative)
     if kind == "basic":
         return _basic_ess_rhat(x3, split_chains, maxlag, method, relative)
     if kind == "bulk":
@@ -754,8 +786,10 @@ def ess_rhat(
 
 # internal helper shared with mcse
 def _ess_array(x3, estimator, q, *, split_chains=2, maxlag=250, relative=False,
-               autocov_method="auto"):
+               autocov_method="auto", rank_mode="exact",
+               rank_nbins=DEFAULT_NBINS):
     """ESS of an estimator on canonical (draws, chains, P); returns (P,)."""
+    _check_rank_mode(rank_mode)
     niter = _niter_after_split(x3.shape[0], split_chains)
     if niter <= 4:
         _warn_short(niter)
@@ -764,6 +798,7 @@ def _ess_array(x3, estimator, q, *, split_chains=2, maxlag=250, relative=False,
     ess_vals, _ = _ess_rhat_pipeline(
         x3, kind=estimator, split_chains=split_chains, maxlag=eff_maxlag,
         method=_method_name(autocov_method, x3, niter, eff_maxlag),
-        relative=relative, q=q,
+        relative=relative, q=q, rank_mode=rank_mode, rank_nbins=rank_nbins,
+        fast_impl=resolve_fast_impl(x3),
     )
     return ess_vals

@@ -24,6 +24,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.fastrank import (
+    DEFAULT_NBINS,
+    build_hist_cdf,
+    hist_rank_value,
+    resolve_fast_impl,
+)
 from ..ops.ranknorm import _flatten_sample, _has_nan_cols
 from ..ops.special import betaincinv
 from ..utils.layout import canonicalize, maybe_scalar
@@ -42,6 +48,11 @@ def mcse(samples, *, kind="mean", batch_size: int | None = None, **ess_kwargs):
     callable (SBM fallback; only ``batch_size`` applies). Remaining kwargs are
     forwarded to the ESS computation (``split_chains``, ``maxlag``,
     ``autocov_method``).
+
+    ``rank_mode="fast"`` makes the median/quantile paths sort-free: the
+    indicator-proxy threshold AND the Beta-interval inverse-ECDF order
+    statistics (src/mcse.jl:96-118) are read off the histogram CDF
+    (ops/fastrank.py), each within one bin width of the exact value.
     """
     x3, pshape = canonicalize(samples)
     if callable(kind) and not isinstance(kind, Quantile):
@@ -84,6 +95,12 @@ def _mcse_std(x3, ess_kwargs):
 
 def _mcse_quantile(x3, p: float, ess_kwargs):
     s_eff = _ess_array(x3, "quantile", p, **ess_kwargs)  # (P,)
+    if ess_kwargs.get("rank_mode", "exact") == "fast":
+        return _mcse_quantile_from_ess_fast(
+            x3, p, s_eff,
+            nbins=ess_kwargs.get("rank_nbins", DEFAULT_NBINS),
+            impl=resolve_fast_impl(x3),
+        )
     return _mcse_quantile_from_ess(x3, p, s_eff)
 
 
@@ -104,6 +121,50 @@ def _mcse_quantile_from_ess(x3, p: float, s_eff):
     x_u = jnp.take_along_axis(xs, (u - 1)[None, :], axis=0)[0]
     out = (x_u - x_l) / 2.0
     bad = jnp.isnan(s_eff) | _has_nan_cols(xf)
+    return jnp.where(bad, jnp.nan, out)
+
+
+@partial(jax.jit, static_argnames=("p", "nbins", "impl"))
+def _mcse_quantile_from_ess_fast(x3, p: float, s_eff, *, nbins: int,
+                                 impl: str):
+    """Sort-free Beta error-distribution quantile MCSE (``rank_mode="fast"``).
+
+    The reference's inverse ECDF reads the l-th and u-th order statistics of
+    the sorted sample (src/mcse.jl:111-117). The output ``(x_u - x_l) / 2``
+    is a DIFFERENCE of nearby order statistics — at large n the interval
+    spans only a couple of global histogram bins, so a single-resolution
+    inversion would carry O(bin/interval) relative error. Two passes fix
+    that: the global CDF locates the covering bins, then a second histogram
+    over just that (per-column) value range — one coarse bin of padding each
+    side so both true order statistics are interior — re-inverts at ~nbins
+    times finer resolution. Two histogram passes, zero sorts; residual error
+    ~ interval / nbins.
+    """
+    xf = _flatten_sample(x3)
+    n = xf.shape[0]
+    cdf = build_hist_cdf(xf, nbins, impl=impl)
+    alpha = s_eff * p + 1.0
+    beta = s_eff * (1.0 - p) + 1.0
+    prob_upper = betaincinv(alpha, beta, _NORMCDF1)
+    prob_lower = betaincinv(alpha, beta, _NORMCDFN1)
+    l = jnp.clip(jnp.floor(prob_lower * n), 1, n)
+    u = jnp.clip(jnp.ceil(prob_upper * n), 1, n)
+    # coarse pass: covering-bin EDGES bracket the true order statistics
+    # (rank-l's element lies in the bin where cum < l <= cum + cnt)
+    width = (cdf.hi - cdf.lo) / nbins
+    k_l = jnp.sum((cdf.cum + 0.5 <= l[None, :]).astype(jnp.int32), axis=0) - 1
+    k_u = jnp.sum((cdf.cum + 0.5 <= u[None, :]).astype(jnp.int32), axis=0) - 1
+    lo_z = cdf.lo + (jnp.clip(k_l, 0, nbins - 1) - 1) * width
+    hi_z = cdf.lo + (jnp.clip(k_u, 0, nbins - 1) + 2) * width
+    lo_z = jnp.nan_to_num(jnp.maximum(lo_z, cdf.lo))
+    hi_z = jnp.nan_to_num(jnp.minimum(hi_z, cdf.hi))
+    # zoom pass: out-of-range elements clip into the boundary bins, which
+    # keeps every in-range rank exact; the padding keeps ranks l/u interior
+    cdf_z = build_hist_cdf(xf, nbins, minmax=(lo_z, hi_z, cdf.bad), impl=impl)
+    x_l = hist_rank_value(cdf_z, l, nbins)
+    x_u = hist_rank_value(cdf_z, u, nbins)
+    out = (x_u - x_l) / 2.0
+    bad = jnp.isnan(s_eff) | cdf.bad
     return jnp.where(bad, jnp.nan, out)
 
 

@@ -302,39 +302,51 @@ def z_from_ranks(rank, n, bad):
     return jnp.where(bad[None, :], jnp.nan, z)
 
 
+def hist_rank_value(cdf: HistCDF, h, nbins: int):
+    """Value at 1-based (possibly fractional, per-column) rank ``h`` — the
+    inverse of the mean-anchored rank map, (P,).
+
+    ``h`` is a scalar or a (P,) array of target ranks in ``[1, n]`` (the
+    convention of ``interpolated_ranks``: a singleton at sorted position i
+    has rank i, 1-based). The covering bin comes from an O(nbins) comparison
+    count (the table is small — no sort, no per-element work), the
+    within-bin position from the inverse of the anchored interpolation.
+    Error bounded by one bin width; point-mass bins return (approximately)
+    the mass location itself. Per-column ``h`` is what the MCSE quantile
+    path needs: its Beta-interval order statistics depend on the per-column
+    ESS (src/mcse.jl:111-117).
+    """
+    cum = cdf.cum  # (nbins+1, P)
+    width = (cdf.hi - cdf.lo) / nbins
+    h = jnp.broadcast_to(jnp.asarray(h, cum.dtype), cdf.lo.shape)
+    # ranks in bin b span [cum[b] + 1/2, cum[b+1] + 1/2]
+    k = jnp.sum((cum + 0.5 <= h[None, :]).astype(jnp.int32), axis=0) - 1
+    k = jnp.clip(k, 0, nbins - 1)
+    kk = k[None, :]
+    c_lo = jnp.take_along_axis(cum, kk, axis=0)[0]
+    cnt = jnp.take_along_axis(cdf.counts, kk, axis=0)[0]
+    fm = jnp.take_along_axis(cdf.fm, kk, axis=0)[0]
+    # invert rank = c_lo + clip(frac*cnt + cnt*(1/2 - fm), 0, cnt) + 1/2
+    g = jnp.clip(h - 0.5 - c_lo, 0.0, cnt)
+    frac = jnp.where(cnt > 0, g / jnp.maximum(cnt, 1.0) + fm - 0.5, 0.5)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    v = cdf.lo + (k.astype(cum.dtype) + frac) * width
+    v = jnp.where(cdf.hi <= cdf.lo, cdf.lo, v)
+    return jnp.where(cdf.bad, jnp.nan, v)
+
+
 def hist_quantile(cdf: HistCDF, ps, nbins: int):
     """Approximate type-7 quantiles from the histogram CDF, (len(ps), P).
 
-    Inverts the mean-anchored rank map: target rank ``h = (n-1) p + 1`` —
-    ``interpolated_ranks`` emits 1-BASED tied ranks (a singleton gets
-    ``C+1``), so the type-7 order statistic at probability ``p`` sits at
-    1-based rank ``(n-1)p + 1``. The covering bin comes from an O(nbins)
-    comparison count (the table is small — no sort, no per-element work),
-    the within-bin position from the inverse of the anchored interpolation.
-    Error bounded by one bin width; point-mass bins return (approximately)
-    the mass location itself.
+    The type-7 order statistic at probability ``p`` sits at 1-based rank
+    ``(n-1)p + 1`` (``interpolated_ranks`` emits 1-based tied ranks — a
+    singleton gets ``C+1``); each probability is one ``hist_rank_value``
+    inversion.
     """
-    cum = cdf.cum  # (nbins+1, P)
     n = cdf.n
-    width = (cdf.hi - cdf.lo) / nbins
-    cnt_all = cdf.counts
-    out = []
-    for p in ps:
-        h = (n - 1) * p + 1.0  # 1-based, matching interpolated_ranks
-        k = jnp.sum((cum + 0.5 <= h).astype(jnp.int32), axis=0) - 1
-        k = jnp.clip(k, 0, nbins - 1)
-        kk = k[None, :]
-        c_lo = jnp.take_along_axis(cum, kk, axis=0)[0]
-        cnt = jnp.take_along_axis(cnt_all, kk, axis=0)[0]
-        fm = jnp.take_along_axis(cdf.fm, kk, axis=0)[0]
-        # invert rank = c_lo + clip(frac*cnt + cnt*(1/2 - fm), 0, cnt) + 1/2
-        g = jnp.clip(h - 0.5 - c_lo, 0.0, cnt)
-        frac = jnp.where(cnt > 0, g / jnp.maximum(cnt, 1.0) + fm - 0.5, 0.5)
-        frac = jnp.clip(frac, 0.0, 1.0)
-        v = cdf.lo + (k.astype(cum.dtype) + frac) * width
-        v = jnp.where(cdf.hi <= cdf.lo, cdf.lo, v)
-        out.append(jnp.where(cdf.bad, jnp.nan, v))
-    return jnp.stack(out, axis=0)
+    return jnp.stack(
+        [hist_rank_value(cdf, (n - 1) * p + 1.0, nbins) for p in ps], axis=0
+    )
 
 
 def resolve_fast_impl(x3) -> str:

@@ -18,7 +18,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betainc, betaln, gammaln
+from jax.scipy.special import betainc, betaln, gammaln, ndtri
+
+# f32 only: switch to the Cornish-Fisher normal expansion above this
+# min(a, b). The bisection's accuracy in f32 dies with the parameter size —
+# betaln(a, b) ~ -(a+b) H(a/(a+b)) reaches magnitudes whose f32 ULP is a
+# sizable EXPONENT error (ULP(1.1e5) ~ 0.008 -> betainc off by ~1%), which
+# at the MCSE scale (a, b ~ ESS ~ 1e5) shifted quantile-MCSE order
+# statistics by ~30 ranks. The expansion's sigma-relative error is
+# ~0.7/min(a,b) (measured vs SciPy; the skew term vanishes at the +-1-sigma
+# points MCSE evaluates), crossing the f32 bisection error near 2e3.
+_F32_ASYM_MIN = 2000.0
 
 
 def betaincinv(a, b, y, *, n_bisect: int = 70, n_newton: int = 4):
@@ -26,15 +36,29 @@ def betaincinv(a, b, y, *, n_bisect: int = 70, n_newton: int = 4):
 
     Bisection to ~2^-70 followed by Newton polish — robust for the moderate
     (a, b) ranges produced by quantile-MCSE (a,b ~ ESS) and F-quantiles
-    (a,b = df/2). Fully batched; NaN inputs propagate.
+    (a,b = df/2). Fully batched; NaN inputs propagate. In f32 (TPU fast
+    mode), large-parameter inverses (min(a, b) >= 2e3) use a Cornish-Fisher
+    normal expansion instead — see ``_F32_ASYM_MIN``. Python scalars follow
+    the x64 flag; array inputs keep their own precision.
     """
     a, b, y = jnp.broadcast_arrays(
-        jnp.asarray(a, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
-        jnp.asarray(b, dtype=None),
-        jnp.asarray(y, dtype=None),
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(y)
     )
     dtype = jnp.result_type(a, b, y, jnp.float32)
     a, b, y = a.astype(dtype), b.astype(dtype), y.astype(dtype)
+
+    big = None
+    if dtype == jnp.float32:
+        s = a + b
+        mu = a / s
+        sig = jnp.sqrt(a * b / (s * s * (s + 1.0)))
+        z = ndtri(y)
+        g1 = 2.0 * (b - a) * jnp.sqrt(s + 1.0) / ((s + 2.0) * jnp.sqrt(a * b))
+        x_asym = jnp.clip(mu + sig * (z + g1 * (z * z - 1.0) / 6.0), 0.0, 1.0)
+        big = jnp.minimum(a, b) >= _F32_ASYM_MIN
+        # keep the (dead) bisection branch cheap and finite
+        a = jnp.where(big, 1.0, a)
+        b = jnp.where(big, 1.0, b)
 
     lo = jnp.zeros_like(y)
     hi = jnp.ones_like(y)
@@ -60,6 +84,8 @@ def betaincinv(a, b, y, *, n_bisect: int = 70, n_newton: int = 4):
         return jnp.where(ok, xn, x)
 
     x = jax.lax.fori_loop(0, n_newton, newton_body, x)
+    if big is not None:
+        x = jnp.where(big, x_asym, x)
     x = jnp.where(y <= 0, 0.0, jnp.where(y >= 1, 1.0, x))
     return jnp.where(jnp.isnan(a) | jnp.isnan(b) | jnp.isnan(y), jnp.nan, x)
 

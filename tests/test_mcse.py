@@ -36,6 +36,27 @@ class TestParity:
         want = np.asarray(mdt.mcse(x, kind=Quantile(0.5)))
         np.testing.assert_allclose(got, want, rtol=1e-12)
 
+    @pytest.mark.parametrize("kind", ["median", "q25", "q90", "mean", "std"])
+    def test_fast_mode_tracks_exact(self, rng, kind):
+        """rank_mode='fast' mcse is sort-free (histogram thresholds + order
+        statistics) and tracks the exact path: mean/std are identical (no
+        sort in either), median/quantile within the one-bin bound of the
+        inverse-ECDF endpoints."""
+        k = {"median": "median", "q25": Quantile(0.25), "q90": Quantile(0.9),
+             "mean": "mean", "std": "std"}[kind]
+        x = ref_impl.ar1_matrix(rng, 0.4, 1.0, (4000, 4, 3))
+        a = np.asarray(mdt.mcse(x, kind=k))
+        b = np.asarray(mdt.mcse(x, kind=k, rank_mode="fast"))
+        tol = 0 if kind in ("mean", "std") else 5e-2
+        np.testing.assert_allclose(b, a, rtol=max(tol, 1e-12))
+
+    def test_fast_mode_nan_and_constant(self, rng):
+        x = ref_impl.ar1_matrix(rng, 0.4, 1.0, (1000, 4, 3))
+        x[5, 2, 1] = np.nan
+        x[:, :, 2] = 3.0
+        b = np.asarray(mdt.mcse(x, kind="median", rank_mode="fast"))
+        assert np.isfinite(b[0]) and np.isnan(b[1]) and np.isnan(b[2])
+
     def test_sbm_fallback(self, rng):
         x = ref_impl.ar1_matrix(rng, 0.4, 1.0, (500, 4, 2))
         import jax.numpy as jnp

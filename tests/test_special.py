@@ -27,6 +27,31 @@ class TestBetaincinv:
         assert betaincinv(2.0, 3.0, 1.0) == 1.0
         assert np.isnan(np.asarray(betaincinv(np.nan, 3.0, 0.5)))
 
+    @pytest.mark.parametrize("S,p", [(10_000, 0.5), (160_000, 0.5),
+                                     (160_000, 0.25), (1_000_000, 0.9)])
+    def test_f32_large_params(self, S, p):
+        """f32 inputs with min(a,b) >= 2e3 take the Cornish-Fisher branch:
+        accuracy must hold to ~1e-3 of the distribution's sigma, where f32
+        bisection was off by sigma-scale amounts (betaln cancellation)."""
+        a = np.float32(S * p + 1.0)
+        b = np.float32(S * (1 - p) + 1.0)
+        sig = np.sqrt(float(a) * float(b)
+                      / ((float(a) + float(b)) ** 2 * (float(a) + float(b) + 1)))
+        for y in (spstats.norm.cdf(-1.0), spstats.norm.cdf(1.0), 0.975):
+            got = float(np.asarray(
+                betaincinv(np.float32(a), np.float32(b), np.float32(y))
+            ))
+            want = float(sps.betaincinv(float(a), float(b), float(y)))
+            assert abs(got - want) <= 2e-3 * sig, (y, got, want, sig)
+
+    def test_f32_small_params_still_bisect(self):
+        """Below the threshold, f32 arrays keep the bisection path and match
+        SciPy to f32 resolution."""
+        y = np.linspace(0.01, 0.99, 21).astype(np.float32)
+        got = np.asarray(betaincinv(np.float32(5.0), np.float32(17.0), y))
+        want = sps.betaincinv(5.0, 17.0, y.astype(np.float64))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
 
 class TestFQuantile:
     @pytest.mark.parametrize("d1,d2", [(3, 10), (1, 1), (7, 200.5), (40, 2)])
