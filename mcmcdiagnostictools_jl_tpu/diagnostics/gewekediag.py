@@ -22,10 +22,14 @@ class GewekeResult(NamedTuple):
 
 
 def gewekediag(x, *, first: float = 0.1, last: float = 0.5, **mcse_kwargs):
-    """Geweke diagnostic of a single chain's draws ``x`` (1-d).
+    """Geweke diagnostic of ``x`` shaped ``(draws[, chains[, params...]])``.
 
-    ``mcse_kwargs`` are forwarded to :func:`mcse` (e.g. ``maxlag``,
-    ``autocov_method``).
+    1-d input reproduces the reference scalar semantics bit-for-bit
+    (src/gewekediag.jl:19); N-d input dispatches every (chain, parameter)
+    series through the batched TPU kernel (diagnostics/batch.py — one
+    fused jit, not draws*chains Python round trips) and returns arrays
+    shaped ``(chains, *params)``. ``mcse_kwargs`` are forwarded to
+    :func:`mcse` (e.g. ``maxlag``, ``autocov_method``).
     """
     if not 0 < first < 1:
         raise ValueError("`first` is not in (0, 1)")
@@ -35,7 +39,9 @@ def gewekediag(x, *, first: float = 0.1, last: float = 0.5, **mcse_kwargs):
         raise ValueError("`first` and `last` proportions overlap")
     x = np.asarray(x, dtype=float)
     if x.ndim != 1:
-        raise ValueError("gewekediag expects a 1-d vector of draws")
+        from .batch import gewekediag_batch
+
+        return gewekediag_batch(x, first=first, last=last, **mcse_kwargs)
     n = len(x)
     x1 = x[: round(first * n)]
     # 1-based start round(n - last*n + 1) (banker's rounding matches Julia)

@@ -36,15 +36,23 @@ class HeidelResult(NamedTuple):
 
 def heideldiag(x, *, alpha: float = 0.05, eps: float = 0.1, start: int = 1,
                **mcse_kwargs):
-    """Heidelberger-Welch diagnostic of a single chain's draws ``x`` (1-d).
+    """Heidelberger-Welch diagnostic of ``x`` shaped
+    ``(draws[, chains[, params...]])``.
 
     Returns ``(burnin, stationarity, pvalue, mean, halfwidth, test)``;
     ``start`` offsets the reported burn-in index (1-based, like the
-    reference). ``mcse_kwargs`` are forwarded to :func:`mcse`.
+    reference). 1-d input reproduces the reference scalar loop
+    (src/heideldiag.jl:16) bit-for-bit; N-d input dispatches every
+    (chain, parameter) series through the fused batched scan kernel
+    (diagnostics/batch.py) and returns arrays shaped ``(chains, *params)``.
+    ``mcse_kwargs`` are forwarded to :func:`mcse`.
     """
     x = np.asarray(x, dtype=float)
     if x.ndim != 1:
-        raise ValueError("heideldiag expects a 1-d vector of draws")
+        from .batch import heideldiag_batch
+
+        return heideldiag_batch(x, alpha=alpha, eps=eps, start=start,
+                                **mcse_kwargs)
     n = len(x)
     delta = int(0.10 * n)
     y = x[int(n / 2) - 1 :]

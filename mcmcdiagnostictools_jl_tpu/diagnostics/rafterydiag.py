@@ -31,14 +31,23 @@ def rafterydiag(
     x, *, q: float = 0.025, r: float = 0.005, s: float = 0.95, eps: float = 0.001,
     range_start: int = 1, range_step: int = 1,
 ):
-    """Raftery-Lewis diagnostic of a single chain's draws ``x`` (1-d).
+    """Raftery-Lewis diagnostic of ``x`` shaped
+    ``(draws[, chains[, params...]])``.
 
     ``range_start``/``range_step`` describe the iteration numbering of ``x``
-    (the reference's ``range`` keyword, default ``1:length(x)``).
+    (the reference's ``range`` keyword, default ``1:length(x)``). 1-d input
+    reproduces the reference scalar loop (src/rafterydiag.jl:27)
+    bit-for-bit; N-d input dispatches every (chain, parameter) series
+    through the vectorized batch path (diagnostics/batch.py) and returns a
+    result of arrays shaped ``(chains, *params)``.
     """
     x = np.asarray(x, dtype=float)
     if x.ndim != 1:
-        raise ValueError("rafterydiag expects a 1-d vector of draws")
+        from .batch import rafterydiag_batch
+
+        return rafterydiag_batch(x, q=q, r=r, s=s, eps=eps,
+                                 range_start=range_start,
+                                 range_step=range_step)
     nx = len(x)
     phi = math.sqrt(2.0) * float(erfinv(s))
     nmin = math.ceil(q * (1.0 - q) * (phi / r) ** 2)
