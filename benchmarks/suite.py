@@ -192,6 +192,30 @@ def config4(params: int = 256):
     measure("fast",
             lambda x, c: mdt.ess_rhat(x, kind="rank", rank_mode="fast",
                                       param_chunk=c), 128)
+
+    # streaming executor (round 5): ingestion + compute via the
+    # double-buffered param-chunk pipeline — the north-star execution model
+    # for larger-than-HBM arrays. Wall includes ALL host->device transfer;
+    # fetch/wait split records the overlap achieved (on the axon tunnel the
+    # transport serializes H2D with compute at ~25 MB/s, so wall ~=
+    # transfer; see PERF.md "North star").
+    try:
+        del cur
+        gc.collect()
+        host2 = rng.standard_normal((10_000, 128, params)).astype(np.float32)
+        warm = mdt.ess_rhat_streaming(host2[:, :, :128], param_chunk=128)
+        np.asarray(warm.ess)  # compile the chunk shape
+        t0 = time.perf_counter()
+        r, stats = mdt.ess_rhat_streaming(host2, param_chunk=128,
+                                          return_stats=True)
+        np.asarray(r.ess)
+        dt = time.perf_counter() - t0
+        results["wall_s_stream_fast_incl_ingest"] = dt
+        results["stream_fetch_s_sum"] = round(sum(stats.fetch_s), 2)
+        results["stream_wait_s_sum"] = round(sum(stats.wait_s), 2)
+        results["stream_chunks"] = stats.n_chunks
+    except Exception as e:  # noqa: BLE001
+        results["stream_error"] = repr(e)[:200]
     return results
 
 

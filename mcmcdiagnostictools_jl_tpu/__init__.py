@@ -49,6 +49,7 @@ from .diagnostics.heideldiag import heideldiag
 from .diagnostics.rafterydiag import rafterydiag
 from .diagnostics.discretediag import discretediag
 from .diagnostics.rstar import rstar
+from .streaming import ess_rhat_streaming, stream_param_chunks
 
 __version__ = "0.1.0"
 
@@ -72,4 +73,7 @@ __all__ = [
     "mcse",
     "rafterydiag",
     "rstar",
+    # TPU-native extras (no reference counterpart)
+    "ess_rhat_streaming",
+    "stream_param_chunks",
 ]
