@@ -100,6 +100,38 @@ def _worker(num_procs: int, pid: int, port: int) -> None:
         times.append(time.perf_counter() - t0)
     wall = sorted(times)[1]
 
+    # ---- attribution probes (round-5 verdict ask 7) -------------------
+    # The weak-scaling walls mix three things: per-device compute growth
+    # (the gather impl re-sorts ALL chains per device), collective cost,
+    # and HOST CORE OVERSUBSCRIPTION (N worker processes share this
+    # machine's physical cores). Two local-only probes separate them:
+    # the same per-process block computed with NO collectives, (a) by all
+    # workers simultaneously (inherits the contention), (b) by worker 0
+    # alone (no contention). sharded-vs-(a) isolates collectives+global
+    # growth; (a)-vs-(b) isolates oversubscription.
+    import mcmcdiagnostictools_jl_tpu as mdt
+
+    x_local = jax.device_put(
+        xg[:, pid * CHAINS_LOCAL:(pid + 1) * CHAINS_LOCAL, :],
+        jax.local_devices()[0],
+    )
+
+    def run_local():
+        r = mdt.ess_rhat(x_local, kind="rank")
+        np.asarray(r.ess)
+
+    run_local()  # compile
+    multihost_utils.sync_global_devices("local-all-start")
+    t0 = time.perf_counter()
+    run_local()
+    local_all_busy = time.perf_counter() - t0
+    multihost_utils.sync_global_devices("local-all-done")
+    if pid == 0:
+        t0 = time.perf_counter()
+        run_local()
+        local_solo = time.perf_counter() - t0
+    multihost_utils.sync_global_devices("local-solo-done")
+
     if pid == 0:
         # parity: single-process oracle on the identical global sample
         import mcmcdiagnostictools_jl_tpu as mdt
@@ -112,6 +144,8 @@ def _worker(num_procs: int, pid: int, port: int) -> None:
             "procs": num_procs,
             "global_shape": [DRAWS, total_chains, PARAMS],
             "wall_s": wall,
+            "local_block_all_procs_busy_s": local_all_busy,
+            "local_block_solo_s": local_solo,
             "rel_err_ess_vs_single_process": err_ess,
             "abs_err_rhat_vs_single_process": err_rhat,
         }), flush=True)
