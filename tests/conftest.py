@@ -18,6 +18,17 @@ try:
 except RuntimeError:
     pass  # no separate CPU backend registered; already on CPU
 
+# Persistent XLA executable cache: every test computation here targets the
+# CPU backend (which supports executable serialization — the axon-tunnel
+# hang documented in utils/profiling.enable_compilation_cache only affects
+# TPU executables, and none compile in this suite), so after one priming
+# run the suite skips ALL compiles. This is most of the wall: the default
+# suite drops from ~8 min to under 3 on 2 cores (README "Tests & bench").
+_cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "mdt-xla-tests")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import numpy as np
 import pytest
 
