@@ -96,11 +96,22 @@ def config2():
     energy = np.asarray(trace.energy, dtype=np.float32)
     dt_mean, _ = _timed(lambda: mdt.mcse(x))
     dt_std, _ = _timed(lambda: mdt.mcse(x, kind="std"))
-    dt_q, _ = _timed(lambda: mdt.mcse(x, kind=mdt.Quantile(0.25)))
+    dt_q, rq = _timed(lambda: mdt.mcse(x, kind=mdt.Quantile(0.25)))
+    # round-5: the sort-free fast path (histogram thresholds + two-pass
+    # zoomed inverse ECDF) on the same call, with its deviation recorded
+    dt_qf, rqf = _timed(
+        lambda: mdt.mcse(x, kind=mdt.Quantile(0.25), rank_mode="fast")
+    )
+    dt_mf, _ = _timed(lambda: mdt.mcse(x, kind="median", rank_mode="fast"))
     dt_bfmi, b = _timed(lambda: mdt.bfmi(energy))
+    rel = np.max(np.abs(np.asarray(rqf) / np.asarray(rq) - 1.0))
     return {
         "wall_s_mcse_mean": dt_mean, "wall_s_mcse_std": dt_std,
-        "wall_s_mcse_quantile": dt_q, "wall_s_bfmi": dt_bfmi,
+        "wall_s_mcse_quantile": dt_q,
+        "wall_s_mcse_quantile_fast": dt_qf,
+        "wall_s_mcse_median_fast": dt_mf,
+        "mcse_quantile_fast_max_rel_dev": float(rel),
+        "wall_s_bfmi": dt_bfmi,
         "bfmi_min": float(np.min(np.asarray(b))),
     }
 

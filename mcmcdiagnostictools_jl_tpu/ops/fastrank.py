@@ -61,6 +61,15 @@ import jax.numpy as jnp
 from jax.scipy.special import ndtri
 
 DEFAULT_NBINS = 4096
+# Fuse Blom+ndtri (inline AS241) into the Pallas rank-lookup kernel?
+# Built and MEASURED OFF in round 5: the lookup kernel is VPU-bound, so the
+# ~30 extra VPU ops/element of the in-kernel ndtri cost MORE than the
+# XLA-side elementwise pass they replace (bench.py A/B on v5e:
+# 0.469 s non-fused vs 0.556 s fused at 10k x 128 x 256) — XLA overlaps
+# the separate Blom/ndtri pass with the kernels' HBM traffic essentially
+# for free. The fused path stays available (pallas_rank_lookup blom_n=...)
+# and tested; flip this if a future kernel becomes MXU/HBM-bound instead.
+FUSE_BLOM_Z = False
 # radix split: nbins = coarse * fine; 64 keeps both one-hot operands at MXU
 # native tile width
 _RADIX_FINE = 64
@@ -378,9 +387,28 @@ def fast_rank_normalize_flat(xf, nbins: int = DEFAULT_NBINS, cdf=None,
     permutation) and the CDF for quantile reuse (median for the fold
     transform, tail thresholds). Pass a prebuilt ``cdf`` (e.g. one whose
     moments were psummed across shards) to skip the histogram pass.
+
+    With ``FUSE_BLOM_Z`` the Pallas path fuses Blom + ndtri into the lookup
+    kernel (inline AS241 — ops/pallas/fastrank_kernel.ppnd7); measured OFF
+    by default (see the flag's rationale), so both paths normally finish
+    with the separate ``z_from_ranks`` step.
     """
     if cdf is None:
         cdf = build_hist_cdf(xf, nbins, impl=impl)
+    if (FUSE_BLOM_Z and impl in ("pallas", "pallas_interpret")
+            and isinstance(cdf.n, int)):
+        from .pallas.fastrank_kernel import pallas_rank_lookup
+
+        cnt = cdf.counts
+        tables = jnp.stack([cdf.cum[:-1], cnt, cnt * (0.5 - cdf.fm)], axis=0)
+        z = pallas_rank_lookup(
+            xf, cdf.lo, _hist_scale(cdf.lo, cdf.hi, nbins), tables, nbins,
+            blom_n=cdf.n, interpret=(impl == "pallas_interpret"),
+        ).astype(xf.dtype)
+        # degenerate (constant) columns carry the exact tied rank (n+1)/2
+        z_deg = ndtri(((cdf.n + 1) * 0.5 - 0.375) / (cdf.n + 0.25))
+        z = jnp.where((cdf.hi <= cdf.lo)[None, :], z_deg.astype(z.dtype), z)
+        return jnp.where(cdf.bad[None, :], jnp.nan, z), cdf
     rank = interpolated_ranks(xf, cdf, nbins, impl=impl)
     return z_from_ranks(rank, cdf.n, cdf.bad), cdf
 

@@ -61,6 +61,50 @@ def _digit_split(nbins: int, kf_max: int):
     return kc, kf
 
 
+# AS241 PPND7 (Wichura 1988) rational coefficients — the single-precision
+# inverse normal CDF (~1e-7 relative). Inlined because jax.scipy's ndtri
+# lowers through erfinv with captured coefficient constants Mosaic rejects
+# inside a pallas_call; spelled as Horner polynomials + sqrt/log it fuses
+# straight into the lookup kernel (PERF.md round-4 lever: the XLA-side
+# Blom+ndtri pass measured ~41 ms at the bench shape).
+_PPND7_A = (3.3871327179e0, 5.0434271938e1, 1.5929113202e2, 5.9109374720e1)
+_PPND7_B = (1.0, 1.7895169469e1, 7.8757757664e1, 6.7187563600e1)
+_PPND7_C = (1.4234372777e0, 2.7568153900e0, 1.3067284816e0, 1.7023821103e-1)
+_PPND7_D = (1.0, 7.3700164250e-1, 1.2021132975e-1)
+_PPND7_E = (6.6579051150e0, 3.0812263860e0, 4.2868294337e-1, 1.7337203997e-2)
+_PPND7_F = (1.0, 2.4197894225e-1, 1.2258202635e-2)
+
+
+def _horner(r, coeffs):
+    acc = jnp.full_like(r, coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * r + c
+    return acc
+
+
+def ppnd7(p):
+    """Inverse standard normal CDF, AS241 single-precision branch.
+
+    Pallas/Mosaic-safe: only mul/add/sqrt/log/select. Accuracy ~1.5e-7
+    relative for p in (1e-38, 1 - 1e-7) — beyond f32's own resolution of
+    the Blom quantiles this library feeds it. Matches
+    jax.scipy.special.ndtri to ~4 f32 ULP (tested in interpret mode).
+    """
+    q = p - 0.5
+    central = jnp.abs(q) <= 0.425
+    # central branch: r in [0, 0.180625]
+    r_c = 0.180625 - q * q
+    x_c = q * _horner(r_c, _PPND7_A) / _horner(r_c, _PPND7_B)
+    # tail branches: r = sqrt(-log(min(p, 1-p)))
+    pt = jnp.where(central, 0.25, jnp.minimum(p, 1.0 - p))  # avoid log(0)
+    r_t = jnp.sqrt(-jnp.log(jnp.maximum(pt, 1e-38)))
+    near = r_t <= 5.0
+    x_near = _horner(r_t - 1.6, _PPND7_C) / _horner(r_t - 1.6, _PPND7_D)
+    x_far = _horner(r_t - 5.0, _PPND7_E) / _horner(r_t - 5.0, _PPND7_F)
+    x_t = jnp.sign(q) * jnp.where(near, x_near, x_far)
+    return jnp.where(central, x_c, x_t)
+
+
 def _bins_row(x, lo, scale, nbins: int, valid):
     """Bin index (int32) and within-bin frac for a (1, I) row.
 
@@ -182,11 +226,18 @@ def pallas_hist_moments(xf, lo, scale, nbins: int, *,
 
 
 def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, xt_ref,
-                   rk_ref, *, nbins: int, pblock: int):
+                   rk_ref, *, nbins: int, pblock: int,
+                   blom_scale: float | None = None):
     """tab_ref: (Pb, 3*kf, kc) — [c_lo; cnt; off] stacked along the fine
-    axis; out_ref: (I, Pb) mean-anchored ranks in native layout (computed
-    per parameter row into the (Pb, I) ``rk_ref`` scratch, transposed back
-    once at the end)."""
+    axis; out_ref: (I, Pb) in native layout (computed per parameter row
+    into the (Pb, I) ``rk_ref`` scratch, transposed back once at the end).
+
+    ``blom_scale=None`` emits mean-anchored ranks; with ``blom_scale =
+    1/(n + 1/4)`` the Blom quantile + inline AS241 ndtri fuse in and the
+    kernel emits the rank-NORMAL transform z directly — the separate
+    XLA-side Blom+ndtri pass (one more HBM read+write of the sample,
+    ~41 ms at (1.28M, 256)) disappears.
+    """
     kc, kf = _digit_split(nbins, _KF_LOOKUP)
     nrows = x_ref.shape[0]
     xt_ref[...] = x_ref[...].T
@@ -211,7 +262,10 @@ def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, xt_ref,
         cnt = jnp.sum(rows[1 * kf:2 * kf, :] * af, axis=0, keepdims=True)
         off = jnp.sum(rows[2 * kf:3 * kf, :] * af, axis=0, keepdims=True)
         g = jnp.clip(frac * cnt + off, 0.0, cnt)
-        rk_ref[pl.ds(p, 1), :] = c_lo + g + 0.5
+        rank = c_lo + g + 0.5
+        if blom_scale is not None:
+            rank = ppnd7((rank - 0.375) * blom_scale)
+        rk_ref[pl.ds(p, 1), :] = rank
         return 0
 
     jax.lax.fori_loop(0, pblock, body, 0, unroll=False)
@@ -220,12 +274,15 @@ def _lookup_kernel(x_ref, lo_ref, scale_ref, tab_ref, out_ref, xt_ref,
 
 def pallas_rank_lookup(xf, lo, scale, tables, nbins: int, *,
                        interpret: bool = False,
-                       row_block: int = _ROW_BLOCK):
+                       row_block: int = _ROW_BLOCK,
+                       blom_n: int | None = None):
     """Mean-anchored interpolated ranks of a native (N, P) sample.
 
     ``tables``: (3, nbins, P) — [prefix count C, bin count, anchor offset
     cnt*(1/2 - fm)]. Returns (N, P) ranks (before the degenerate override,
-    which the caller applies with the Blom/ndtri step).
+    which the caller applies with the Blom/ndtri step) — or, when
+    ``blom_n`` (the GLOBAL element count) is given, the rank-normal z
+    values directly via the fused Blom + inline-AS241 ndtri.
     """
     n, p = xf.shape
     kc, kf = _digit_split(nbins, _KF_LOOKUP)
@@ -242,8 +299,10 @@ def pallas_rank_lookup(xf, lo, scale, tables, nbins: int, *,
     pblocks = ptot // _PBLOCK
     nchunks = (n + npad) // row_block
 
+    blom_scale = None if blom_n is None else 1.0 / (blom_n + 0.25)
     out = pl.pallas_call(
-        functools.partial(_lookup_kernel, nbins=nbins, pblock=_PBLOCK),
+        functools.partial(_lookup_kernel, nbins=nbins, pblock=_PBLOCK,
+                          blom_scale=blom_scale),
         grid=(pblocks, nchunks),
         in_specs=[
             pl.BlockSpec((row_block, _PBLOCK), lambda i, j: (j, i),

@@ -33,9 +33,8 @@ from ..ops.autocov import mean_autocov_curve
 from ..ops.fastrank import (
     DEFAULT_NBINS,
     build_hist_cdf,
+    fast_rank_normalize_flat,
     hist_quantile,
-    interpolated_ranks,
-    z_from_ranks,
 )
 from ..ops.geyer import geyer_ess_from_rho
 from ..ops.ranknorm import (
@@ -364,8 +363,9 @@ def _sharded_fast_rank(xf, chain_axis: str, kshards: int, nbins: int,
         xf, nbins, minmax=minmax, psum_axis=chain_axis, n_global=n_global,
         impl=fast_impl,
     )
-    rank = interpolated_ranks(xf, cdf, nbins, impl=fast_impl)
-    return z_from_ranks(rank, cdf.n, cdf.bad), cdf
+    # same helper as the single-device path: on Pallas the Blom+ndtri fuse
+    # into the lookup kernel (ops/fastrank.fast_rank_normalize_flat)
+    return fast_rank_normalize_flat(xf, nbins, cdf=cdf, impl=fast_impl)
 
 
 def _fold_minmax_from(cdf, med):

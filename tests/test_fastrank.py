@@ -264,6 +264,45 @@ class TestPallasKernels:
         )
         np.testing.assert_allclose(a, b, atol=1e-3)
 
+    def test_ppnd7_matches_ndtri(self):
+        """Inline AS241 ndtri (the Pallas-fusable inverse normal CDF) vs
+        jax.scipy's, across the central and both tail branches."""
+        import jax.numpy as jnp
+        from jax.scipy.special import ndtri
+
+        from mcmcdiagnostictools_jl_tpu.ops.pallas.fastrank_kernel import (
+            ppnd7,
+        )
+
+        p = np.concatenate([
+            np.linspace(1e-7, 1 - 1e-7, 2001),      # central
+            np.geomspace(1e-30, 1e-2, 200),          # far lower tail
+            1 - np.geomspace(1e-7, 1e-2, 200),       # upper tail
+        ])
+        got = np.asarray(ppnd7(jnp.asarray(p)))
+        want = np.asarray(ndtri(jnp.asarray(p)))
+        np.testing.assert_allclose(got, want, rtol=2e-7, atol=2e-7)
+
+    def test_fused_z_lookup_matches_xla(self, rng, monkeypatch):
+        """blom_n fuses Blom+ndtri into the lookup kernel: output must match
+        the XLA rank -> z_from_ranks path. (The fusion is off by default —
+        measured slower on the VPU-bound kernel — but stays correct.)"""
+        from mcmcdiagnostictools_jl_tpu.ops import fastrank
+        from mcmcdiagnostictools_jl_tpu.ops.fastrank import (
+            fast_rank_normalize_flat,
+        )
+
+        x = rng.standard_normal((5000, 5)).astype(np.float32)
+        x[:, 2] = np.round(x[:, 2] * 2) / 2  # ties
+        x[:, 3] = 1.25  # degenerate column
+        za, _ = fast_rank_normalize_flat(x, 1024, impl="xla")
+        monkeypatch.setattr(fastrank, "FUSE_BLOM_Z", True)
+        zb, _ = fast_rank_normalize_flat(x, 1024, impl="pallas_interpret")
+        # extreme-rank elements amplify f32 ndtri differences by 1/phi(z);
+        # 1e-4 in z is far below the fast mode's own approximation bound
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(za),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_row_padding(self, rng):
         # N not a multiple of the kernel row block: pad lanes must not
         # contaminate any bin
