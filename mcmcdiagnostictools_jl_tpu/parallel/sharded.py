@@ -21,6 +21,7 @@ logic; parity with ``diagnostics.ess_rhat`` is asserted in tests on a virtual
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -563,14 +564,37 @@ def ess_rhat_sharded(
     eff_maxlag = min(maxlag, niter - 4)
     impl = _resolve_rank_impl(rank_impl, x3, kind)
     x3 = shard_canonical(x3, cfg)
-    q = tail_prob if kind == "tail" else None
 
     # Resolve "auto" against the mesh's devices; the fused kernel computes
     # moments the sharded path derives with collectives, so map it to the
     # plain Pallas direct-autocov kernel (TPU) / FFT (interpret) here.
     method = _method_name(autocov_method, x3, niter, eff_maxlag)
+
+    fn = build_sharded_ess_rhat_fn(
+        cfg, kind=kind, split_chains=split_chains, eff_maxlag=eff_maxlag,
+        method=method, relative=relative, tail_prob=tail_prob,
+        rank_impl=impl, rank_nbins=rank_nbins,
+        dtype=jnp.dtype(x3.dtype),
+    )
+    ess, rhat = fn(x3)
+    return ESSRhat(maybe_scalar(ess, pshape), maybe_scalar(rhat, pshape))
+
+
+@functools.lru_cache(maxsize=128)
+def build_sharded_ess_rhat_fn(
+    cfg: MeshConfig, *, kind: str, split_chains: int, eff_maxlag: int,
+    method, relative: bool, tail_prob: float, rank_impl: str,
+    rank_nbins: int, dtype,
+):
+    """Construct the jitted shard_map'ed ESS/R-hat pipeline for one option
+    signature — cached so repeat calls (and the streaming executor's chunk
+    loop) reuse one traced executable instead of re-tracing per call.
+    ``rank_impl`` must already be resolved (no "auto"); ``method`` likewise.
+    """
     if method in ("fused", "fused_interpret"):
         method = "pallas" if method == "fused" else "fft"
+    q = tail_prob if kind == "tail" else None
+    impl = rank_impl
 
     if impl == "hist" and kind in ("bulk", "tail", "rank"):
         # XLA radix matmuls inside shard_map on CPU meshes; the fused Pallas
@@ -579,7 +603,7 @@ def ess_rhat_sharded(
         fast_impl = (
             "pallas"
             if all(d.platform == "tpu" for d in cfg.mesh.devices.flat)
-            and jnp.dtype(x3.dtype) == jnp.float32
+            and jnp.dtype(dtype) == jnp.float32
             else "xla"
         )
         kernel = partial(
@@ -624,8 +648,7 @@ def ess_rhat_sharded(
         in_specs=(cfg.data_spec,),
         out_specs=(cfg.param_spec, cfg.param_spec),
     )
-    ess, rhat = jax.jit(fn)(x3)
-    return ESSRhat(maybe_scalar(ess, pshape), maybe_scalar(rhat, pshape))
+    return jax.jit(fn)
 
 
 def _nested_rhat_from_moments_dist(chain_mean, chain_var, nsuper_local: int,

@@ -89,7 +89,7 @@ def _make_source(source, nparams):
 
 
 def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
-                        return_stats: bool = False):
+                        return_stats: bool = False, sharding=None):
     """Drive ``fn`` over parameter chunks with double-buffered H2D transfer.
 
     ``fn(device_chunk) -> pytree of (param_chunk,) arrays`` must be
@@ -103,6 +103,12 @@ def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
     continues in the background) -> block on chunk k's outputs (transfer
     k+1 overlaps this wait) -> drop chunk k's buffer. Peak device footprint
     is two chunks + the (P,)-sized outputs.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` for the device chunks —
+    pass ``NamedSharding(cfg.mesh, cfg.data_spec)`` to stream chunks onto a
+    (chains x params) mesh and drive a SHARDED pipeline (the north-star
+    execution model: chains sharded across chips, parameters streamed
+    through them; see ``ess_rhat_streaming(mesh_cfg=...)``).
     """
     src, nparams = _make_source(source, nparams)
     starts = list(range(0, nparams, param_chunk))
@@ -120,7 +126,7 @@ def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
             )
         if size < param_chunk:
             host = np.pad(host, ((0, 0), (0, 0), (0, param_chunk - size)))
-        dev = jax.device_put(host)
+        dev = jax.device_put(host, sharding)
         stats.fetch_s.append(time.perf_counter() - t0)
         return dev
 
@@ -165,6 +171,8 @@ def ess_rhat_streaming(
     rank_nbins: int = DEFAULT_NBINS,
     dtype=np.float32,
     return_stats: bool = False,
+    mesh_cfg=None,
+    rank_impl: str = "hist",
 ):
     """ESS + R-hat over a sample too large for device memory.
 
@@ -174,6 +182,13 @@ def ess_rhat_streaming(
     :func:`mcmcdiagnostictools_jl_tpu.ess_rhat` chunk-for-chunk (chunking is
     exact: every kernel is per-parameter independent). Defaults to the f32
     histogram fast mode — the streaming regime is the throughput regime.
+
+    ``mesh_cfg``: a ``parallel.MeshConfig`` to stream onto a
+    (chains x params) device mesh — each chunk is ``device_put`` with the
+    mesh sharding and runs the SHARDED pipeline (collectives per
+    ``rank_impl``, default the one-psum histogram). This is the full
+    north-star execution model: chains sharded across chips, parameters
+    streamed through them, nothing ever fully resident.
 
     With ``return_stats=True`` also returns a :class:`StreamStats` with the
     per-chunk fetch/wait split showing the transfer/compute overlap.
@@ -191,21 +206,42 @@ def ess_rhat_streaming(
     def cast_source(start, size):
         return np.asarray(src(start, size), dtype=dtype)
 
-    dev_probe = jax.device_put(np.asarray(probe, dtype=dtype))
-    method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
-    fast_impl = resolve_fast_impl(dev_probe)
-    q = tail_prob if kind == "tail" else None
+    sharding = None
+    if mesh_cfg is not None:
+        from jax.sharding import NamedSharding
 
-    def fn(chunk):
-        return _ess_rhat_pipeline(
-            chunk, kind=kind, split_chains=split_chains, maxlag=eff_maxlag,
-            method=method, relative=relative, q=q, rank_mode=rank_mode,
-            rank_nbins=rank_nbins, fast_impl=fast_impl,
+        from .parallel.sharded import build_sharded_ess_rhat_fn
+
+        sharding = NamedSharding(mesh_cfg.mesh, mesh_cfg.data_spec)
+        dev_probe = jax.device_put(np.asarray(probe, dtype=dtype))
+        method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
+        if rank_impl not in ("gather", "ring", "hist"):
+            raise ValueError(
+                f"streaming rank_impl must be resolved, got {rank_impl!r}"
+            )
+        fn = build_sharded_ess_rhat_fn(
+            mesh_cfg, kind=kind, split_chains=split_chains,
+            eff_maxlag=eff_maxlag, method=method, relative=relative,
+            tail_prob=tail_prob, rank_impl=rank_impl, rank_nbins=rank_nbins,
+            dtype=np.dtype(dtype),
         )
+    else:
+        dev_probe = jax.device_put(np.asarray(probe, dtype=dtype))
+        method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
+        fast_impl = resolve_fast_impl(dev_probe)
+        q = tail_prob if kind == "tail" else None
+
+        def fn(chunk):
+            return _ess_rhat_pipeline(
+                chunk, kind=kind, split_chains=split_chains,
+                maxlag=eff_maxlag, method=method, relative=relative, q=q,
+                rank_mode=rank_mode, rank_nbins=rank_nbins,
+                fast_impl=fast_impl,
+            )
 
     out = stream_param_chunks(
         fn, cast_source, nparams=nparams, param_chunk=param_chunk,
-        return_stats=return_stats,
+        return_stats=return_stats, sharding=sharding,
     )
     if return_stats:
         (ess, rhat), stats = out

@@ -92,6 +92,56 @@ class TestESSRhatStreaming:
                                    rtol=1e-6)
 
 
+class TestMeshStreaming:
+    """Streaming onto a device mesh: chains sharded across devices while
+    parameters stream through — the north-star execution model."""
+
+    def test_matches_sharded_and_fast(self, rng):
+        import jax
+
+        from mcmcdiagnostictools_jl_tpu.parallel import (
+            ess_rhat_sharded,
+            make_mesh,
+        )
+
+        devices = jax.local_devices(backend="cpu")[:8]
+        cfg = make_mesh(4, 2, devices=devices)
+        x = rng.standard_normal((800, 8, 20)).astype(np.float32)
+        a = ess_rhat_sharded(x, cfg, kind="rank", rank_impl="hist")
+        b = mdt.ess_rhat_streaming(x, param_chunk=4, mesh_cfg=cfg,
+                                   rank_impl="hist")
+        np.testing.assert_allclose(np.asarray(b.ess), np.asarray(a.ess),
+                                   rtol=5e-6)
+        np.testing.assert_allclose(np.asarray(b.rhat), np.asarray(a.rhat),
+                                   rtol=5e-6)
+        # and against the single-device fast mode (hist == fast semantics)
+        c = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        np.testing.assert_allclose(np.asarray(b.ess), np.asarray(c.ess),
+                                   rtol=1e-5)
+
+    def test_ragged_chunk_on_mesh(self, rng):
+        import jax
+
+        from mcmcdiagnostictools_jl_tpu.parallel import make_mesh
+
+        devices = jax.local_devices(backend="cpu")[:8]
+        cfg = make_mesh(4, 2, devices=devices)
+        # 18 params, chunk 8 -> last chunk 2 params zero-padded to 8
+        x = rng.standard_normal((600, 4, 18)).astype(np.float32)
+        b = mdt.ess_rhat_streaming(x, param_chunk=8, mesh_cfg=cfg)
+        assert np.asarray(b.ess).shape == (18,)
+        assert np.all(np.isfinite(np.asarray(b.ess)))
+
+    def test_bad_rank_impl_raises(self, rng):
+        from mcmcdiagnostictools_jl_tpu.parallel import make_mesh
+        import jax
+
+        cfg = make_mesh(4, 2, devices=jax.local_devices(backend="cpu")[:8])
+        x = rng.standard_normal((100, 4, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="rank_impl"):
+            mdt.ess_rhat_streaming(x, mesh_cfg=cfg, rank_impl="auto")
+
+
 class TestGenericExecutor:
     def test_arbitrary_pipeline(self, rng):
         """Any per-param pipeline streams — here a mean/std pytree."""
