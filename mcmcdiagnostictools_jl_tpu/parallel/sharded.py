@@ -717,6 +717,29 @@ def rhat_nested_sharded(
     x3 = shard_canonical(x3, cfg)
     nsuper_local = nsuper // kshards
 
+    fn = build_sharded_rhat_nested_fn(
+        cfg, kind=kind, split_chains=split_chains,
+        nsuper_local=nsuper_local, rank_impl=impl, rank_nbins=rank_nbins,
+        dtype=jnp.dtype(x3.dtype),
+    )
+    vals = fn(x3)
+    from ..utils.layout import maybe_scalar as _ms
+
+    return _ms(vals, pshape)
+
+
+@functools.lru_cache(maxsize=128)
+def build_sharded_rhat_nested_fn(
+    cfg: MeshConfig, *, kind: str, split_chains: int, nsuper_local: int,
+    rank_impl: str, rank_nbins: int, dtype,
+):
+    """Construct the jitted shard_map'ed nested-R-hat pipeline for one
+    option signature — cached like :func:`build_sharded_ess_rhat_fn` so
+    repeat calls reuse one traced executable."""
+    impl = rank_impl
+    kshards = cfg.mesh.shape[cfg.chain_axis]
+    nsuper = nsuper_local * kshards
+
     def ring_kernel(xb):
         # gather-free: ring merge-count ranks + local split-chain moments off
         # the sort order (ops/seghist.py), two-level psum reduction
@@ -756,7 +779,7 @@ def rhat_nested_sharded(
         fast_impl = (
             "pallas"
             if all(dv.platform == "tpu" for dv in cfg.mesh.devices.flat)
-            and jnp.dtype(xb.dtype) == jnp.float32
+            and jnp.dtype(dtype) == jnp.float32
             else "xla"
         )
         xf = xb.reshape(d * c_loc, p)
@@ -842,10 +865,7 @@ def rhat_nested_sharded(
         in_specs=(cfg.data_spec,),
         out_specs=cfg.param_spec,
     )
-    vals = jax.jit(fn)(x3)
-    from ..utils.layout import maybe_scalar as _ms
-
-    return _ms(vals, pshape)
+    return jax.jit(fn)
 
 
 def _nested_rhat_from_chain_moments(chain_mean, chain_var, nsuper: int,
