@@ -213,7 +213,12 @@ def ess_rhat_streaming(
         from .parallel.sharded import build_sharded_ess_rhat_fn
 
         sharding = NamedSharding(mesh_cfg.mesh, mesh_cfg.data_spec)
-        dev_probe = jax.device_put(np.asarray(probe, dtype=dtype))
+        # resolve "auto" against the MESH's platform, not the default
+        # device's (they can differ, e.g. a CPU test mesh on a TPU host)
+        dev_probe = jax.device_put(
+            np.asarray(probe, dtype=dtype),
+            next(iter(mesh_cfg.mesh.devices.flat)),
+        )
         method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
         if rank_impl not in ("gather", "ring", "hist"):
             raise ValueError(
