@@ -134,8 +134,7 @@ def _worker(num_procs: int, pid: int, port: int) -> None:
 
     if pid == 0:
         # parity: single-process oracle on the identical global sample
-        import mcmcdiagnostictools_jl_tpu as mdt
-
+        # (mdt already imported by the probe section above)
         ref = mdt.ess_rhat(xg, kind="rank")
         err_ess = float(np.max(np.abs(ess - np.asarray(ref.ess))
                                / np.asarray(ref.ess)))

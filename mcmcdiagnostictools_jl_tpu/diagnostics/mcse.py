@@ -27,13 +27,22 @@ import jax.numpy as jnp
 from ..ops.fastrank import (
     DEFAULT_NBINS,
     build_hist_cdf,
+    hist_quantile,
     hist_rank_value,
     resolve_fast_impl,
 )
 from ..ops.ranknorm import _flatten_sample, _has_nan_cols
 from ..ops.special import betaincinv
 from ..utils.layout import canonicalize, maybe_scalar
-from .ess_rhat import Quantile, _ess_array
+from .ess_rhat import (
+    Quantile,
+    _basic_ess_rhat,
+    _ess_array,
+    _indicator_leq,
+    _method_name,
+    _niter_after_split,
+    _warn_short,
+)
 
 # standard normal CDF at +1 / -1 (reference src/mcse.jl:1-2)
 _NORMCDF1 = 0.8413447460685429
@@ -94,14 +103,53 @@ def _mcse_std(x3, ess_kwargs):
 
 
 def _mcse_quantile(x3, p: float, ess_kwargs):
-    s_eff = _ess_array(x3, "quantile", p, **ess_kwargs)  # (P,)
     if ess_kwargs.get("rank_mode", "exact") == "fast":
-        return _mcse_quantile_from_ess_fast(
-            x3, p, s_eff,
-            nbins=ess_kwargs.get("rank_nbins", DEFAULT_NBINS),
-            impl=resolve_fast_impl(x3),
-        )
+        return _mcse_quantile_fast(x3, p, ess_kwargs)
+    s_eff = _ess_array(x3, "quantile", p, **ess_kwargs)  # (P,)
     return _mcse_quantile_from_ess(x3, p, s_eff)
+
+
+def _mcse_quantile_fast(x3, p: float, ess_kwargs):
+    """Sort-free quantile MCSE: threshold, proxy ESS, and the zoomed
+    inverse-ECDF endpoints all in ONE jitted graph sharing one coarse CDF
+    (two histogram passes total — a separate `_ess_array` call would
+    rebuild the identical coarse CDF for its proxy threshold)."""
+    split_chains = ess_kwargs.get("split_chains", 2)
+    maxlag = ess_kwargs.get("maxlag", 250)
+    unknown = set(ess_kwargs) - {
+        "split_chains", "maxlag", "autocov_method", "rank_mode", "rank_nbins"
+    }
+    if unknown:
+        raise TypeError(f"unexpected mcse kwargs: {sorted(unknown)}")
+    niter = _niter_after_split(x3.shape[0], split_chains)
+    if niter <= 4:
+        _warn_short(niter)
+        return jnp.full(x3.shape[2], jnp.nan, x3.dtype)
+    eff_maxlag = min(maxlag, niter - 4)
+    return _mcse_quantile_fast_jit(
+        x3, p,
+        split_chains=split_chains,
+        maxlag=eff_maxlag,
+        method=_method_name(ess_kwargs.get("autocov_method", "auto"), x3,
+                            niter, eff_maxlag),
+        nbins=ess_kwargs.get("rank_nbins", DEFAULT_NBINS),
+        impl=resolve_fast_impl(x3),
+    )
+
+
+@partial(jax.jit, static_argnames=("p", "split_chains", "maxlag", "method",
+                                   "nbins", "impl"))
+def _mcse_quantile_fast_jit(x3, p: float, *, split_chains: int, maxlag: int,
+                            method, nbins: int, impl: str):
+    xf = _flatten_sample(x3)
+    cdf = build_hist_cdf(xf, nbins, impl=impl)
+    thr = hist_quantile(cdf, (p,), nbins)[0]
+    s_eff, _ = _basic_ess_rhat(
+        _indicator_leq(x3, thr), split_chains, maxlag, method,
+        relative=False,
+    )
+    return _mcse_quantile_from_ess_fast(x3, p, s_eff, nbins=nbins,
+                                        impl=impl, cdf=cdf)
 
 
 @partial(jax.jit, static_argnames=("p",))
@@ -124,9 +172,8 @@ def _mcse_quantile_from_ess(x3, p: float, s_eff):
     return jnp.where(bad, jnp.nan, out)
 
 
-@partial(jax.jit, static_argnames=("p", "nbins", "impl"))
 def _mcse_quantile_from_ess_fast(x3, p: float, s_eff, *, nbins: int,
-                                 impl: str):
+                                 impl: str, cdf=None):
     """Sort-free Beta error-distribution quantile MCSE (``rank_mode="fast"``).
 
     The reference's inverse ECDF reads the l-th and u-th order statistics of
@@ -134,15 +181,16 @@ def _mcse_quantile_from_ess_fast(x3, p: float, s_eff, *, nbins: int,
     is a DIFFERENCE of nearby order statistics — at large n the interval
     spans only a couple of global histogram bins, so a single-resolution
     inversion would carry O(bin/interval) relative error. Two passes fix
-    that: the global CDF locates the covering bins, then a second histogram
-    over just that (per-column) value range — one coarse bin of padding each
-    side so both true order statistics are interior — re-inverts at ~nbins
-    times finer resolution. Two histogram passes, zero sorts; residual error
+    that: the (shared) global CDF locates the covering bins, then a second
+    histogram over just that (per-column) value range — one coarse bin of
+    padding each side so both true order statistics are interior —
+    re-inverts at ~nbins times finer resolution. Zero sorts; residual error
     ~ interval / nbins.
     """
     xf = _flatten_sample(x3)
     n = xf.shape[0]
-    cdf = build_hist_cdf(xf, nbins, impl=impl)
+    if cdf is None:
+        cdf = build_hist_cdf(xf, nbins, impl=impl)
     alpha = s_eff * p + 1.0
     beta = s_eff * (1.0 - p) + 1.0
     prob_upper = betaincinv(alpha, beta, _NORMCDF1)

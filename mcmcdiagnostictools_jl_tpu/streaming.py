@@ -64,19 +64,22 @@ class StreamStats:
 
 
 def _make_source(source, nparams):
-    """Normalize the input to ``(source_fn, nparams)``.
+    """Normalize the input to ``(source_fn, nparams, pshape)``.
 
     Arrays (incl. np.memmap) stream via contiguous slices of the last axis;
     callables are used as-is: ``source(start, size) -> (draws, chains,
-    size)`` host array.
+    size)`` host array. ``pshape`` is the original trailing parameter shape
+    for arrays (``()`` for 2-d input — scalar-output semantics, matching
+    ``ess_rhat``) and ``None`` for callables (results stay flat).
     """
     if callable(source):
         if nparams is None:
             raise ValueError("nparams is required with a callable source")
-        return source, int(nparams)
+        return source, int(nparams), None
     arr = source
     if arr.ndim < 2:
         raise ValueError("streaming expects (draws, chains[, params...])")
+    pshape = arr.shape[2:]
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim > 3:
@@ -85,7 +88,7 @@ def _make_source(source, nparams):
     def slice_source(start, size):
         return np.ascontiguousarray(arr[:, :, start:start + size])
 
-    return slice_source, int(arr.shape[2])
+    return slice_source, int(arr.shape[2]), pshape
 
 
 def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
@@ -108,9 +111,10 @@ def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
     pass ``NamedSharding(cfg.mesh, cfg.data_spec)`` to stream chunks onto a
     (chains x params) mesh and drive a SHARDED pipeline (the north-star
     execution model: chains sharded across chips, parameters streamed
-    through them; see ``ess_rhat_streaming(mesh_cfg=...)``).
+    through them; see ``ess_rhat_streaming(mesh_cfg=...)``). Results stay
+    flat over the parameter axis (this is the generic executor).
     """
-    src, nparams = _make_source(source, nparams)
+    src, nparams, _ = _make_source(source, nparams)
     starts = list(range(0, nparams, param_chunk))
     stats = StreamStats(n_chunks=len(starts), param_chunk=param_chunk)
 
@@ -172,29 +176,38 @@ def ess_rhat_streaming(
     dtype=np.float32,
     return_stats: bool = False,
     mesh_cfg=None,
-    rank_impl: str = "hist",
+    rank_impl: str | None = None,
 ):
     """ESS + R-hat over a sample too large for device memory.
 
     ``source`` is a host array / np.memmap shaped ``(draws, chains,
     params...)`` or a callable ``source(start, size)`` yielding host chunks
-    (then ``nparams`` is required). Semantics match
-    :func:`mcmcdiagnostictools_jl_tpu.ess_rhat` chunk-for-chunk (chunking is
-    exact: every kernel is per-parameter independent). Defaults to the f32
-    histogram fast mode — the streaming regime is the throughput regime.
+    (then ``nparams`` is required; results are then flat ``(nparams,)``
+    since no parameter shape is known). Array inputs keep ``ess_rhat``'s
+    output semantics: trailing parameter shape preserved, scalars for 2-d
+    input. Chunking is exact (every kernel is per-parameter independent).
+    Defaults to the f32 histogram fast mode — the streaming regime is the
+    throughput regime; pass ``rank_mode="exact"`` for the sort-based
+    reference semantics.
 
     ``mesh_cfg``: a ``parallel.MeshConfig`` to stream onto a
     (chains x params) device mesh — each chunk is ``device_put`` with the
-    mesh sharding and runs the SHARDED pipeline (collectives per
-    ``rank_impl``, default the one-psum histogram). This is the full
+    mesh sharding and runs the SHARDED pipeline. This is the full
     north-star execution model: chains sharded across chips, parameters
-    streamed through them, nothing ever fully resident.
+    streamed through them, nothing ever fully resident. ``rank_impl``
+    selects the mesh pipeline's rank transform and must agree with
+    ``rank_mode``: it defaults to ``"hist"`` (the distributed fast mode)
+    under ``rank_mode="fast"`` and ``"gather"`` under ``"exact"``;
+    without ``mesh_cfg`` it must be left unset.
 
     With ``return_stats=True`` also returns a :class:`StreamStats` with the
     per-chunk fetch/wait split showing the transfer/compute overlap.
     """
     _check_rank_mode(rank_mode)
-    src, nparams = _make_source(source, nparams)
+    if mesh_cfg is None and rank_impl is not None:
+        raise ValueError("rank_impl only applies with mesh_cfg; use "
+                         "rank_mode to pick fast vs exact")
+    src, nparams, pshape = _make_source(source, nparams)
     probe = np.asarray(src(0, 1))
     ndraws, nchains = probe.shape[0], probe.shape[1]
     niter = ndraws // split_chains
@@ -212,6 +225,18 @@ def ess_rhat_streaming(
 
         from .parallel.sharded import build_sharded_ess_rhat_fn
 
+        if rank_impl is None:
+            rank_impl = "hist" if rank_mode == "fast" else "gather"
+        if rank_impl not in ("gather", "ring", "hist"):
+            raise ValueError(
+                f"streaming rank_impl must be resolved, got {rank_impl!r}"
+            )
+        if (rank_mode == "fast") != (rank_impl == "hist"):
+            raise ValueError(
+                f"rank_mode={rank_mode!r} conflicts with "
+                f"rank_impl={rank_impl!r}: 'hist' IS the fast mode on a "
+                "mesh; 'gather'/'ring' are the exact transforms"
+            )
         sharding = NamedSharding(mesh_cfg.mesh, mesh_cfg.data_spec)
         # resolve "auto" against the MESH's platform, not the default
         # device's (they can differ, e.g. a CPU test mesh on a TPU host)
@@ -220,10 +245,6 @@ def ess_rhat_streaming(
             next(iter(mesh_cfg.mesh.devices.flat)),
         )
         method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
-        if rank_impl not in ("gather", "ring", "hist"):
-            raise ValueError(
-                f"streaming rank_impl must be resolved, got {rank_impl!r}"
-            )
         fn = build_sharded_ess_rhat_fn(
             mesh_cfg, kind=kind, split_chains=split_chains,
             eff_maxlag=eff_maxlag, method=method, relative=relative,
@@ -250,6 +271,16 @@ def ess_rhat_streaming(
     )
     if return_stats:
         (ess, rhat), stats = out
+    else:
+        ess, rhat = out
+    if pshape is not None:
+        # restore ess_rhat's output contract: param shape kept, scalar for
+        # sample-dims-only input
+        if pshape == ():
+            ess, rhat = ess[0].item(), rhat[0].item()
+        else:
+            ess = ess.reshape(pshape)
+            rhat = rhat.reshape(pshape)
+    if return_stats:
         return ESSRhat(ess, rhat), stats
-    ess, rhat = out
     return ESSRhat(ess, rhat)

@@ -65,6 +65,24 @@ class TestESSRhatStreaming:
         assert len(stats.fetch_s) == 3 and len(stats.wait_s) == 3
         assert stats.wall_s > 0
 
+    def test_param_shape_preserved(self, rng):
+        """ess_rhat's output contract holds: trailing param shape kept,
+        scalar for 2-d input (code-review r5 finding)."""
+        x = rng.standard_normal((400, 4, 3, 5)).astype(np.float32)
+        a = mdt.ess_rhat(x, kind="rank", rank_mode="fast")
+        b = mdt.ess_rhat_streaming(x, param_chunk=4)
+        assert np.asarray(b.ess).shape == (3, 5)
+        np.testing.assert_allclose(np.asarray(b.ess), np.asarray(a.ess),
+                                   rtol=5e-6)
+        x2 = rng.standard_normal((400, 4)).astype(np.float32)
+        s = mdt.ess_rhat_streaming(x2)
+        assert np.ndim(s.ess) == 0 and np.ndim(s.rhat) == 0
+
+    def test_rank_impl_requires_mesh(self, rng):
+        x = rng.standard_normal((400, 4, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="mesh_cfg"):
+            mdt.ess_rhat_streaming(x, rank_impl="hist")
+
     def test_nan_poisoning_streams(self, rng):
         x = rng.standard_normal((400, 4, 10)).astype(np.float32)
         x[3, 1, 4] = np.nan
@@ -140,6 +158,30 @@ class TestMeshStreaming:
         x = rng.standard_normal((100, 4, 8)).astype(np.float32)
         with pytest.raises(ValueError, match="rank_impl"):
             mdt.ess_rhat_streaming(x, mesh_cfg=cfg, rank_impl="auto")
+        # rank_mode and rank_impl must agree: exact + hist is a silent
+        # approximation trap (code-review r5 finding)
+        with pytest.raises(ValueError, match="conflicts"):
+            mdt.ess_rhat_streaming(x, mesh_cfg=cfg, rank_mode="exact",
+                                   rank_impl="hist")
+        with pytest.raises(ValueError, match="conflicts"):
+            mdt.ess_rhat_streaming(x, mesh_cfg=cfg, rank_mode="fast",
+                                   rank_impl="gather")
+
+    def test_exact_mode_on_mesh_defaults_to_gather(self, rng):
+        import jax
+
+        from mcmcdiagnostictools_jl_tpu.parallel import (
+            ess_rhat_sharded,
+            make_mesh,
+        )
+
+        cfg = make_mesh(4, 2, devices=jax.local_devices(backend="cpu")[:8])
+        x = rng.standard_normal((600, 8, 8)).astype(np.float32)
+        a = ess_rhat_sharded(x, cfg, kind="rank", rank_impl="gather")
+        b = mdt.ess_rhat_streaming(x, param_chunk=4, mesh_cfg=cfg,
+                                   rank_mode="exact")
+        np.testing.assert_allclose(np.asarray(b.ess), np.asarray(a.ess),
+                                   rtol=5e-6)
 
 
 class TestGenericExecutor:
