@@ -671,11 +671,12 @@ def ess(
     ``relative=True`` returns ESS / (draws*chains). Scalar for <=2-d input,
     array shaped like the parameter dims otherwise.
 
-    ``rank_mode="fast"`` replaces the sort-based rank/quantile transforms of
-    the bulk/tail kinds with the histogram/CDF approximation over
-    ``rank_nbins`` bins (ops/fastrank.py; sort-free, ~2-4x faster on TPU,
-    error bound documented there). ``"exact"`` (default) keeps reference
-    bit-semantics.
+    ``rank_mode="fast"`` replaces EVERY sort-based transform — the
+    bulk/tail rank transforms and the median/mad/quantile estimator-proxy
+    thresholds — with the histogram/CDF approximation over ``rank_nbins``
+    bins (ops/fastrank.py; zero sorts in the compiled graph, ~2-4x faster
+    on TPU, error bound documented there). ``"exact"`` (default) keeps
+    reference bit-semantics.
     """
     _check_rank_mode(rank_mode)
     x3, pshape = canonicalize(samples)
