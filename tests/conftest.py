@@ -27,7 +27,7 @@ except RuntimeError:
 _cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "mdt-xla-tests")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 import numpy as np
 import pytest
