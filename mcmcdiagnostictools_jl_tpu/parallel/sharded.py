@@ -572,7 +572,11 @@ def ess_rhat_sharded(
 
     fn = build_sharded_ess_rhat_fn(
         cfg, kind=kind, split_chains=split_chains, eff_maxlag=eff_maxlag,
-        method=method, relative=relative, tail_prob=tail_prob,
+        method=method, relative=relative,
+        # only the tail kind consumes the probability — normalizing to None
+        # otherwise keeps the cache from re-tracing identical pipelines for
+        # every distinct (ignored) tail_prob
+        q=(tail_prob if kind == "tail" else None),
         rank_impl=impl, rank_nbins=rank_nbins,
         dtype=jnp.dtype(x3.dtype),
     )
@@ -583,17 +587,17 @@ def ess_rhat_sharded(
 @functools.lru_cache(maxsize=128)
 def build_sharded_ess_rhat_fn(
     cfg: MeshConfig, *, kind: str, split_chains: int, eff_maxlag: int,
-    method, relative: bool, tail_prob: float, rank_impl: str,
+    method, relative: bool, q: float | None, rank_impl: str,
     rank_nbins: int, dtype,
 ):
     """Construct the jitted shard_map'ed ESS/R-hat pipeline for one option
     signature — cached so repeat calls (and the streaming executor's chunk
     loop) reuse one traced executable instead of re-tracing per call.
-    ``rank_impl`` must already be resolved (no "auto"); ``method`` likewise.
+    ``rank_impl`` must already be resolved (no "auto"); ``method`` likewise;
+    ``q`` is the tail probability (None for non-tail kinds).
     """
     if method in ("fused", "fused_interpret"):
         method = "pallas" if method == "fused" else "fft"
-    q = tail_prob if kind == "tail" else None
     impl = rank_impl
 
     if impl == "hist" and kind in ("bulk", "tail", "rank"):

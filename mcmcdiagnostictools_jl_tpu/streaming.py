@@ -19,8 +19,9 @@ Two entry points:
   ``(param_chunk,)``-shaped outputs, driven over a host array / memmap / or
   a ``source(start, size)`` callable (e.g. reading chunks from disk or an
   object store — the array never needs to exist in host RAM either).
-- :func:`ess_rhat_streaming` — ESS + R-hat (all kinds, exact or fast rank
-  mode) over a larger-than-HBM sample.
+- :func:`ess_rhat_streaming` — ESS + R-hat (the rank/bulk/tail/basic
+  kinds of ``ess_rhat``, exact or fast rank mode) over a larger-than-HBM
+  sample.
 
 The reference has no counterpart (it is a single-host in-memory library);
 this is a pure TPU-native obligation (BASELINE.json north_star).
@@ -75,7 +76,7 @@ def _make_source(source, nparams):
     if callable(source):
         if nparams is None:
             raise ValueError("nparams is required with a callable source")
-        return source, int(nparams), None
+        return source, int(nparams), None, None
     arr = source
     if arr.ndim < 2:
         raise ValueError("streaming expects (draws, chains[, params...])")
@@ -88,7 +89,7 @@ def _make_source(source, nparams):
     def slice_source(start, size):
         return np.ascontiguousarray(arr[:, :, start:start + size])
 
-    return slice_source, int(arr.shape[2]), pshape
+    return slice_source, int(arr.shape[2]), pshape, arr.shape[:2]
 
 
 def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
@@ -105,7 +106,8 @@ def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
     ``device_put`` of chunk k+1 (host copy overlaps compute k; the transfer
     continues in the background) -> block on chunk k's outputs (transfer
     k+1 overlaps this wait) -> drop chunk k's buffer. Peak device footprint
-    is two chunks + the (P,)-sized outputs.
+    is two chunks + the (P,)-sized outputs. A zero-parameter source is an
+    error (the output structure of ``fn`` is unknown without running it).
 
     ``sharding``: optional ``jax.sharding.Sharding`` for the device chunks —
     pass ``NamedSharding(cfg.mesh, cfg.data_spec)`` to stream chunks onto a
@@ -114,7 +116,9 @@ def stream_param_chunks(fn, source, *, nparams=None, param_chunk: int = 256,
     through them; see ``ess_rhat_streaming(mesh_cfg=...)``). Results stay
     flat over the parameter axis (this is the generic executor).
     """
-    src, nparams, _ = _make_source(source, nparams)
+    src, nparams, _, _ = _make_source(source, nparams)
+    if nparams <= 0:
+        raise ValueError("streaming requires at least one parameter")
     starts = list(range(0, nparams, param_chunk))
     stats = StreamStats(n_chunks=len(starts), param_chunk=param_chunk)
 
@@ -203,13 +207,19 @@ def ess_rhat_streaming(
     With ``return_stats=True`` also returns a :class:`StreamStats` with the
     per-chunk fetch/wait split showing the transfer/compute overlap.
     """
+    if kind not in ("rank", "bulk", "tail", "basic"):
+        raise ValueError(
+            f"the `kind` `{kind}` is not supported by `ess_rhat_streaming`"
+        )
     _check_rank_mode(rank_mode)
     if mesh_cfg is None and rank_impl is not None:
         raise ValueError("rank_impl only applies with mesh_cfg; use "
                          "rank_mode to pick fast vs exact")
-    src, nparams, pshape = _make_source(source, nparams)
-    probe = np.asarray(src(0, 1))
-    ndraws, nchains = probe.shape[0], probe.shape[1]
+    src, nparams, pshape, dims = _make_source(source, nparams)
+    if dims is None:
+        # callable source: one single-column read discovers (draws, chains)
+        dims = np.asarray(src(0, 1)).shape[:2]
+    ndraws, nchains = dims
     niter = ndraws // split_chains
     if niter <= 4:
         raise ValueError("streaming ess_rhat requires >4 draws per split "
@@ -239,20 +249,23 @@ def ess_rhat_streaming(
             )
         sharding = NamedSharding(mesh_cfg.mesh, mesh_cfg.data_spec)
         # resolve "auto" against the MESH's platform, not the default
-        # device's (they can differ, e.g. a CPU test mesh on a TPU host)
+        # device's (they can differ, e.g. a CPU test mesh on a TPU host);
+        # a 1-element placement probe carries the platform + dtype — no
+        # source data needed
         dev_probe = jax.device_put(
-            np.asarray(probe, dtype=dtype),
+            np.zeros((1, 1, 1), dtype),
             next(iter(mesh_cfg.mesh.devices.flat)),
         )
         method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
         fn = build_sharded_ess_rhat_fn(
             mesh_cfg, kind=kind, split_chains=split_chains,
             eff_maxlag=eff_maxlag, method=method, relative=relative,
-            tail_prob=tail_prob, rank_impl=rank_impl, rank_nbins=rank_nbins,
+            q=(tail_prob if kind == "tail" else None),
+            rank_impl=rank_impl, rank_nbins=rank_nbins,
             dtype=np.dtype(dtype),
         )
     else:
-        dev_probe = jax.device_put(np.asarray(probe, dtype=dtype))
+        dev_probe = jax.device_put(np.zeros((1, 1, 1), dtype))
         method = _method_name(autocov_method, dev_probe, niter, eff_maxlag)
         fast_impl = resolve_fast_impl(dev_probe)
         q = tail_prob if kind == "tail" else None
@@ -274,13 +287,11 @@ def ess_rhat_streaming(
     else:
         ess, rhat = out
     if pshape is not None:
-        # restore ess_rhat's output contract: param shape kept, scalar for
+        # restore ess_rhat's output contract: param shape kept, 0-d arrays
+        # (with .dtype etc., like maybe_scalar's output) for
         # sample-dims-only input
-        if pshape == ():
-            ess, rhat = ess[0].item(), rhat[0].item()
-        else:
-            ess = ess.reshape(pshape)
-            rhat = rhat.reshape(pshape)
+        ess = ess.reshape(pshape)
+        rhat = rhat.reshape(pshape)
     if return_stats:
         return ESSRhat(ess, rhat), stats
     return ESSRhat(ess, rhat)

@@ -83,6 +83,31 @@ class TestESSRhatStreaming:
         with pytest.raises(ValueError, match="mesh_cfg"):
             mdt.ess_rhat_streaming(x, rank_impl="hist")
 
+    def test_unsupported_kind_raises(self, rng):
+        x = rng.standard_normal((400, 4, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="kind"):
+            mdt.ess_rhat_streaming(x, kind="quantile")
+
+    def test_zero_params_raises(self, rng):
+        x = rng.standard_normal((400, 4, 0)).astype(np.float32)
+        with pytest.raises(ValueError, match="at least one parameter"):
+            mdt.ess_rhat_streaming(x)
+
+    def test_array_source_is_not_read_for_probing(self, rng):
+        """Array/memmap sources: shape comes from .shape; no column read
+        happens before streaming starts (review finding — a probe read is
+        a wasted remote fetch for disk-backed sources)."""
+        reads = []
+
+        def counting_source(start, size):
+            reads.append((start, size))
+            r = np.random.default_rng(123)
+            return r.standard_normal((300, 4, size)).astype(np.float32)
+
+        mdt.ess_rhat_streaming(counting_source, nparams=6, param_chunk=6)
+        # callable: exactly one (0, 1) discovery read + the chunk reads
+        assert reads[0] == (0, 1) and reads[1:] == [(0, 6)], reads
+
     def test_nan_poisoning_streams(self, rng):
         x = rng.standard_normal((400, 4, 10)).astype(np.float32)
         x[3, 1, 4] = np.nan
